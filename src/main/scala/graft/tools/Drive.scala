@@ -1,0 +1,62 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Manual driving harness: exercises the library through its public surface
+  * (a real SparkSession) with codegen forced on, so `sbt "runMain
+  * graft.tools.Drive"` observes the expressions executing inside
+  * whole-stage codegen. Used by /verify; not part of the engine.
+  */
+object Drive {
+  def session(cores: Int = 4): SparkSession = {
+    val spark = SparkSession.builder().master(s"local[$cores]")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.codegen.fallback", "false")
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.url.urlfns._
+    val df = Seq(
+      ("https://example.com/path/", "/subpage"),
+      ("https://example.com/a/b/page.html", "../up"),
+      ("https://example.com", "mailto:x@y.z"),
+      ("https://example.com", "HTTP://Other.COM/X#frag"),
+      ("https://example.com", "/big.zip"),
+      ("https://example.com", "ab:éé"),
+      (null, "/x")
+    ).toDF("base", "href")
+    val out = df.select($"base", $"href",
+      canonicalize_url($"base", $"href").as("canon"),
+      url_host(canonicalize_url($"base", $"href")).as("host"),
+      path_depth(canonicalize_url($"base", $"href")).as("depth"),
+      score_url(canonicalize_url($"base", $"href"), lit(2)).as("score"),
+      is_ignored_asset(canonicalize_url($"base", $"href")).as("asset"))
+    out.show(false)
+    out.explain("formatted")
+    println("ROWS=" + out.count())
+
+    // Drive through a non-local source so the expressions must survive
+    // WholeStageCodegen (LocalTableScan constant-folds them at plan time).
+    val gen = spark.range(0, 100000)
+      .select(
+        concat(lit("https://h"), $"id" % 50, lit(".example.com/d")).as("base"),
+        concat(lit("p/"), $"id", lit(".html#x")).as("href"))
+      .select(canonicalize_url($"base", $"href").as("url"))
+      .select($"url", url_host($"url").as("host"), path_depth($"url").as("d"),
+        score_url($"url", lit(1)).as("s"), is_media_asset($"url").as("m"))
+    gen.explain("formatted")
+    val agg = gen.groupBy($"host").count().orderBy($"host").limit(3)
+    agg.show(false)
+    println("DISTINCT_HOSTS=" + gen.select($"host").distinct().count())
+    spark.stop()
+  }
+}

@@ -1,0 +1,104 @@
+package graft.engine
+
+import graft.corpus.{CorpusGen, CorpusParams}
+import graft.model.{FrontierEntry, Span}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** One fetched row before parsing: the frontier entry + the fetch outcome.
+  * `f_final_url` differs from `url` after redirects (client-side follow,
+  * limit 7 — reference `redirect_limit` `configuration.rs:868`).
+  */
+final case class FetchResult(
+    url: String,
+    host: String,
+    depth: Int,
+    discovery_seq: Long,
+    priority: Int,
+    attempt: Int,
+    f_status: Int,
+    f_final_url: String,
+    f_spans: Array[Span]
+)
+
+/** The pluggable fetch stage — the engine's re-expression of the
+  * reference's `RemoteFetcher` seam (`spider/src/fetcher.rs:1-106`): swaps
+  * the network round-trip while keeping ALL other crawl machinery (gate,
+  * visited, budgets, robots, extraction, politeness).
+  */
+trait Fetcher extends Serializable {
+  def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult]
+}
+
+/** Fetches from the deterministic synthetic corpus by evaluating the pure
+  * generator function per partition — no corpus materialization, so bench
+  * scales to any frontier size (10^10 URLs never hit disk). Redirects are
+  * followed client-side up to `redirectLimit` hops.
+  */
+final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) extends Fetcher {
+  override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {
+    import spark.implicits._
+    val p = params
+    val rl = redirectLimit
+    admitted.mapPartitions { it =>
+      it.map { e =>
+        var url = e.url
+        var doc = CorpusGen.docFor(p, url)
+        var hops = 0
+        while (doc != null && doc.status >= 300 && doc.status < 400 && doc.redirect_to != null && hops < rl) {
+          url = doc.redirect_to
+          doc = CorpusGen.docFor(p, url)
+          hops += 1
+        }
+        if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty)
+        else if (doc.status >= 300 && doc.status < 400)
+          FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty) // too many redirects
+        else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans)
+      }
+    }
+  }
+}
+
+/** Fetches by joining the admitted batch against a corpus TABLE in
+  * input_hint shape (`doc_id, spans` + sidecars) — the production path when
+  * documents live in a real table. Redirect chains resolve via bounded
+  * iterative re-join (corpus chains are short; each hop is one broadcastable
+  * join of the still-redirecting subset).
+  */
+final class TableFetcher(docs: DataFrame, redirectLimit: Int = 7) extends Fetcher {
+  override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d = docs.select(
+      col("doc_id"), col("spans"), col("status").as("d_status"), col("redirect_to"))
+    var cur = admitted.toDF()
+      .join(d, admitted("url") === d("doc_id"), "left")
+      .select(admitted("url"), col("host"), col("depth"), col("discovery_seq"),
+        col("priority"), col("attempt"),
+        coalesce(col("d_status"), lit(404)).as("f_status"),
+        col("url").as("f_final_url"), col("spans").as("f_spans"), col("redirect_to"))
+    var hops = 0
+    while (hops < redirectLimit) {
+      // resolve one redirect hop for rows still carrying a redirect_to
+      val pending = cur.filter(col("f_status").between(300, 399) && col("redirect_to").isNotNull)
+      if (pending.isEmpty) hops = redirectLimit
+      else {
+        val done = cur.filter(!(col("f_status").between(300, 399) && col("redirect_to").isNotNull))
+        val next = pending.drop("f_status", "f_spans", "f_final_url")
+          .withColumnRenamed("redirect_to", "r_to")
+          .join(d, col("r_to") === d("doc_id"), "left")
+          .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
+            col("priority"), col("attempt"),
+            coalesce(col("d_status"), lit(404)).as("f_status"),
+            col("r_to").as("f_final_url"), col("spans").as("f_spans"), col("redirect_to"))
+        cur = done.unionByName(next)
+        hops += 1
+      }
+    }
+    cur.withColumn("f_status",
+        when(col("f_status").between(300, 399), lit(310)).otherwise(col("f_status")))
+      .withColumn("f_spans", coalesce(col("f_spans"),
+        array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")))
+      .drop("redirect_to")
+      .as[FetchResult]
+  }
+}

@@ -1,0 +1,238 @@
+package graft.oracle
+
+import graft.corpus.{CorpusGen, CorpusParams}
+import graft.engine.{CrawlEngine, FetchResult, RobotsProvider, ScopeState}
+import graft.model.{CrawlConfig, FrontierEntry}
+import graft.url.UrlOps
+
+/** Sequential in-memory reference implementation of the crawl contract —
+  * the differential oracle of SURVEY §5: the Spark engine's visited set,
+  * page set, and canonical admission order must equal this crawler's on the
+  * same (corpus, config, seeds).
+  *
+  * It mirrors the reference `is_allowed` chain (`website.rs:1864-1914`)
+  * exactly and replays the SAME epoch semantics as the distributed engine
+  * (politeness → budget in canonical order; discovery_seq assignment
+  * including pre-dedup gaps), sharing only the pure per-URL functions
+  * (UrlOps / Robots / parsePage) so the distributed machinery — anti-joins,
+  * windows, rank assignment, state rolling — is what gets tested.
+  */
+object OracleCrawler {
+
+  final case class OraclePage(url: String, finalUrl: String, host: String, depth: Int,
+      seq: Long, epoch: Long, status: Int, signature: Long, links: Seq[String])
+
+  final case class OracleResult(
+      pages: Vector[OraclePage],
+      seen: Set[String], // lowercased
+      frontierRemainder: Vector[FrontierEntry],
+      epochs: Long)
+
+  // canonical order (SURVEY D6)
+  private val canonical: Ordering[FrontierEntry] =
+    Ordering.by(e => (e.depth, e.discovery_seq, e.host, e.url))
+
+  def crawl(params: CorpusParams, config: CrawlConfig, robots: RobotsProvider,
+      seedUrls: Seq[String]): OracleResult = {
+
+    val seed0 = UrlOps.parse(seedUrls.head)
+    var scope = ScopeState(
+      subMatcher =
+        if (config.tld) UrlOps.rootDomain(seed0.host)
+        else if (config.subdomains) seed0.host
+        else "",
+      parentHost = seed0.host,
+      parentScheme = seed0.scheme,
+      redirectHost = "",
+      crawlBase = UrlOps.parseCrawlBase(seedUrls.head).serialize,
+      externalDomains = config.externalDomains.map(_.toLowerCase(java.util.Locale.ROOT)),
+      fullResources = config.fullResources)
+
+    val depthDistance = math.max(config.depth, UrlOps.budgetSegments(seedUrls.head).length)
+    var wildcardRemaining: Long = config.budget.get("*").map(_.toLong).getOrElse(Long.MaxValue)
+    var pathBudget: Map[String, Long] = (config.budget - "*").map { case (k, v) => (k, v.toLong) }
+    var budgetStopped = false
+
+    val seen = scala.collection.mutable.Set.empty[String]
+    val sigs = scala.collection.mutable.Set.empty[Long]
+    val hostTokens = scala.collection.mutable.Map.empty[String, Long]
+    val pages = Vector.newBuilder[OraclePage]
+    var seqCounter = 0L
+    var epoch = 0L
+
+    def gateDefault(e: FrontierEntry): Boolean = {
+      val wl = config.whitelist.toSet
+      val bl = config.blacklist.toSet
+      val wOk = wl.isEmpty || wl.contains(e.url)
+      val bOk = bl.isEmpty || !bl.contains(e.url)
+      val rOk = !config.respectRobotsTxt || robots.policyFor(e.host).canFetch(config.userAgent, e.url)
+      wOk && bOk && rOk
+    }
+
+    val canonSeeds = seedUrls.flatMap { s =>
+      Option(UrlOps.convertAbsPath(s, s))
+    }.distinct
+    var frontier: Vector[FrontierEntry] = canonSeeds.zipWithIndex.map { case (u, i) =>
+      FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
+    }.toVector.filter(gateDefault)
+    seqCounter = canonSeeds.length.toLong
+
+    var done = frontier.isEmpty
+    while (!done) {
+      val (ready, held) = frontier.partition(_.not_before <= epoch)
+      if (ready.isEmpty) {
+        epoch += 1
+        if (frontier.isEmpty || epoch >= config.maxEpochs) done = true
+      } else {
+        // 1. seen filter
+        val unseen = ready.filterNot(e => seen.contains(e.url.toLowerCase(java.util.Locale.ROOT)))
+        // 2. batch dedup, case-insensitive, keep canonical-min
+        val deduped = unseen.groupBy(_.url.toLowerCase(java.util.Locale.ROOT))
+          .values.map(_.min(canonical)).toVector
+        // 3. lists + robots + depth
+        val gated0 = deduped.filter(gateDefault).filter { e =>
+          config.depth <= 0 || UrlOps.pathDepth(e.url) <= depthDistance
+        }
+
+        // 4. politeness (token buckets, priority order per host)
+        val politenessOn = config.delayMs > 0 || config.respectRobotsTxt ||
+          config.maxPerHostPerEpoch != Int.MaxValue
+        var polAdmitted = gated0
+        var deferred = Vector.empty[FrontierEntry]
+        if (politenessOn) {
+          val byHost = gated0.groupBy(_.host)
+          val adm = Vector.newBuilder[FrontierEntry]
+          byHost.foreach { case (host, es) =>
+            val rd = if (config.respectRobotsTxt) robots.crawlDelayMs(host, config.userAgent) else 0L
+            val delay = math.max(config.delayMs, rd)
+            val permits = if (delay == 0) Long.MaxValue / 4 else config.tickMs * 1000L / delay
+            val avail = math.min(hostTokens.getOrElse(host, 1000L) + permits,
+              math.max(2000L, permits * 2))
+            val quota = math.min(avail / 1000L, config.maxPerHostPerEpoch.toLong)
+            val sorted = es.sortBy(e => (-e.priority, e.depth, e.discovery_seq, e.url))
+            val (a, d) = sorted.splitAt(math.min(quota, Int.MaxValue.toLong).toInt)
+            adm ++= a
+            deferred ++= d.map(_.copy(not_before = epoch + 1))
+            hostTokens(host) = avail - a.size * 1000L
+          }
+          polAdmitted = adm.result()
+        }
+
+        // 5. budget in canonical order (sequential reference walk)
+        var admitted = Vector.empty[FrontierEntry]
+        var budgetLeftover = Vector.empty[FrontierEntry]
+        if (config.wildCardBudgeting || pathBudget.nonEmpty) {
+          val inOrder = polAdmitted.sorted(canonical)
+          val it = inOrder.iterator
+          var stopped = false
+          while (it.hasNext) {
+            val e = it.next()
+            if (stopped) budgetLeftover :+= e
+            else {
+              var over = false
+              if (config.wildCardBudgeting) {
+                if (wildcardRemaining == 1L) { stopped = true; budgetStopped = true; budgetLeftover :+= e }
+                else wildcardRemaining -= 1
+              }
+              if (!stopped) {
+                if (pathBudget.nonEmpty) {
+                  // exact reference walk (`website.rs:2085-2115`): accumulate
+                  // segments, decrement matching keys, break on exhausted
+                  val segs = UrlOps.budgetSegments(e.url)
+                  val sb = new java.lang.StringBuilder()
+                  var i = 0
+                  while (i < segs.length && !over) {
+                    sb.append(segs(i))
+                    val k = sb.toString
+                    pathBudget.get(k) match {
+                      case Some(rem) =>
+                        if (rem <= 0) over = true
+                        else pathBudget = pathBudget.updated(k, rem - 1)
+                      case None =>
+                    }
+                    i += 1
+                  }
+                }
+                if (!over) admitted :+= e
+              }
+            }
+          }
+        } else admitted = polAdmitted
+
+        // 6. mark seen; 7. fetch (same generative fetcher semantics)
+        admitted.foreach(e => seen += e.url.toLowerCase(java.util.Locale.ROOT))
+        val fetched = admitted.map { e =>
+          var url = e.url
+          var doc = CorpusGen.docFor(params, url)
+          var hops = 0
+          while (doc != null && doc.status >= 300 && doc.status < 400 && doc.redirect_to != null && hops < 7) {
+            url = doc.redirect_to; doc = CorpusGen.docFor(params, url); hops += 1
+          }
+          if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty)
+          else if (doc.status >= 300 && doc.status < 400)
+            FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty)
+          else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans)
+        }
+
+        // 8. retries (remove from seen, re-queue with backoff)
+        def retryable(s: Int) = (s >= 500 && s != 501 && s != 505 && s != 511) || s == 429 || s == 408
+        val (toRetry, keep) = fetched.partition(f => retryable(f.f_status) && f.attempt < config.retryLimit)
+        val retryEntries = toRetry.map { f =>
+          seen -= f.url.toLowerCase(java.util.Locale.ROOT)
+          FrontierEntry(f.url, f.host, f.depth, f.discovery_seq, f.priority, f.attempt + 1,
+            epoch + math.min(math.pow(2.0, f.attempt + 1).toLong, 60L))
+        }
+
+        // 9a. scope re-anchor on epoch-0 cross-host redirect
+        if (epoch == 0L) {
+          keep.find(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
+            .foreach(f => scope = scope.copy(redirectHost = UrlOps.host(f.f_final_url)))
+        }
+
+        // 9b. parse (same pure function as the engine)
+        val parsed = keep.map(f => CrawlEngine.parsePage(f, scope, epoch))
+        parsed.foreach { p =>
+          pages += OraclePage(p.url, p.final_url, p.host, p.depth, p.discovery_seq,
+            p.epoch, p.status, p.signature, p.links.toSeq)
+        }
+
+        // 10. signature dedup: canonical-first page per NEW signature expands
+        val expanding =
+          if (config.normalize) {
+            val ok = parsed.filter(p => p.status == 200 && p.signature != 0L)
+            val newSigPages = ok.filter(p => !sigs.contains(p.signature))
+            val firstPerSig = newSigPages.groupBy(_.signature).values
+              .map(_.minBy(p => (p.depth, p.discovery_seq, p.host, p.url))).toVector
+            firstPerSig.foreach(p => sigs += p.signature)
+            firstPerSig ++ parsed.filter(p => p.status == 200 && p.signature == 0L)
+          } else parsed.filter(_.status == 200)
+
+        // 11. explode links, dedup by lower(url) keep min (p_depth,p_seq,pos,url),
+        //     assign discovery_seq with the engine's exact gap semantics
+        val linksRaw = expanding.flatMap { p =>
+          p.links.zipWithIndex.map { case (u, pos) => (p.depth, p.discovery_seq, pos, u) }
+        }
+        val newLinkCount = linksRaw.size.toLong
+        val uniq = linksRaw.groupBy(_._4.toLowerCase(java.util.Locale.ROOT)).values
+          .map(_.minBy(t => (t._1, t._2, t._3, t._4))).toVector
+          .sortBy(t => (t._1, t._2, t._3, t._4))
+        val newFrontier = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
+          FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
+            UrlOps.scoreUrl(u, pd + 1), 0, 0L)
+        }
+        seqCounter += newLinkCount
+
+        // 12. next frontier, case-insensitive dedup keep canonical-min
+        val all = held ++ deferred ++ budgetLeftover ++ retryEntries ++ newFrontier
+        frontier = all.groupBy(_.url.toLowerCase(java.util.Locale.ROOT)).values
+          .map(_.min(canonical)).toVector
+
+        epoch += 1
+        done = budgetStopped || frontier.isEmpty || epoch >= config.maxEpochs
+      }
+    }
+
+    OracleResult(pages.result().sortBy(p => (p.depth, p.seq, p.host, p.url)),
+      seen.toSet, frontier, epoch)
+  }
+}

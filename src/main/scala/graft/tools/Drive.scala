@@ -21,6 +21,7 @@ object Drive {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("crawl")) { crawlDemo(); return }
     val spark = session()
     import org.apache.spark.sql.functions._
     import spark.implicits._
@@ -57,6 +58,29 @@ object Drive {
     val agg = gen.groupBy($"host").count().orderBy($"host").limit(3)
     agg.show(false)
     println("DISTINCT_HOSTS=" + gen.select($"host").distinct().count())
+    spark.stop()
+  }
+
+  /** End-to-end crawl through the public engine API. */
+  def crawlDemo(): Unit = {
+    import graft.corpus.CorpusParams
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    import graft.model.CrawlConfig
+    val spark = session()
+    import org.apache.spark.sql.functions._
+    val params = CorpusParams(hosts = 4, pagesPerHost = 120, dupContentEvery = 7,
+      redirectEvery = 11, errorEvery = 13)
+    val cfg = CrawlConfig(respectRobotsTxt = true, retryLimit = 1, maxEpochs = 40)
+    val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), expectedUrls = 100000)
+    val t0 = System.nanoTime()
+    val res = engine.crawl(Seq("https://www.site1.com/"))
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"CRAWL done: epochs=${res.epochs} pages=${res.pages.count()} seen=${res.seen.count()} in $secs%.1fs")
+    res.pages.groupBy(col("status")).count().orderBy(col("status")).show()
+    res.pages.orderBy(col("depth"), col("discovery_seq")).select(
+      col("url"), col("final_url"), col("depth"), col("status"), col("title")).show(8, 60)
+    println("metrics=" + res.metrics.map(m => (m.epoch, m.admitted, m.new_links)).mkString(" "))
     spark.stop()
   }
 }

@@ -1,0 +1,159 @@
+package graft.engine
+
+import graft.corpus.{CorpusGen, CorpusParams}
+import graft.model.CrawlConfig
+import graft.oracle.OracleCrawler
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential tests: the Spark engine must produce EXACTLY the oracle's
+  * visited set, page set, and canonical admission order on the same
+  * (corpus, config, seeds) — SURVEY §5's "oracle reimplementation" plan,
+  * standing in for replaying the reference crate suite
+  * (`website.rs:14735-15460`).
+  */
+class CrawlDifferentialSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder().master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def run(params: CorpusParams, config: CrawlConfig, seeds: Seq[String]) = {
+    spark.sparkContext.setLogLevel("ERROR")
+    val robots = new CorpusRobots(params)
+    val engine = new CrawlEngine(spark, config, new GenerativeFetcher(params), robots,
+      expectedUrls = 100000L)
+    val er = engine.crawl(seeds)
+    val or = OracleCrawler.crawl(params, config, robots, seeds)
+    (er, or)
+  }
+
+  private def assertParity(er: CrawlResult, or: OracleCrawler.OracleResult): Unit = {
+    import org.apache.spark.sql.functions._
+    val ePages = er.pages
+      .select(col("url"), col("depth"), col("discovery_seq"), col("status"),
+        col("signature"), col("final_url"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getLong(4), r.getString(5))).toSet
+    val oPages = or.pages.map(p => (p.url, p.depth, p.seq, p.status, p.signature, p.finalUrl)).toSet
+    val onlyE = ePages -- oPages
+    val onlyO = oPages -- ePages
+    assert(onlyE.isEmpty && onlyO.isEmpty,
+      s"page sets differ: engine-only=${onlyE.take(5)} oracle-only=${onlyO.take(5)} " +
+        s"(engine ${ePages.size}, oracle ${oPages.size})")
+    val eSeen = er.seen.select(col("url_lower")).collect().map(_.getString(0)).toSet
+    assert(eSeen == or.seen, s"seen sets differ: engine-only=${(eSeen -- or.seen).take(5)} " +
+      s"oracle-only=${(or.seen -- eSeen).take(5)}")
+  }
+
+  test("basic crawl: visited set + pages + order equal oracle") {
+    val params = CorpusParams(hosts = 3, pagesPerHost = 60)
+    val (er, or) = run(params, CrawlConfig(maxEpochs = 30), Seq("https://www.site1.com/"))
+    assert(or.pages.nonEmpty && or.pages.size > 10, s"oracle crawled ${or.pages.size}")
+    assertParity(er, or)
+  }
+
+  test("case-variant URLs fetched exactly once (test_link_duplicates shape)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val (er, or) = run(params, CrawlConfig(maxEpochs = 30), Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    // uniqueness: no two pages share a lowercased URL
+    val urls = or.pages.map(_.url.toLowerCase)
+    assert(urls.distinct.size == urls.size)
+  }
+
+  test("signature dedup suppresses duplicate-content expansion") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 50, dupContentEvery = 2)
+    val (er, or) = run(params, CrawlConfig(maxEpochs = 30), Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    // with dup pairs, some signatures repeat across fetched pages
+    val sigCounts = or.pages.filter(_.status == 200).groupBy(_.signature)
+    assert(sigCounts.exists(_._2.size > 1), "corpus should contain duplicate signatures")
+  }
+
+  test("budget {*, en, fr} caps admissions and stops crawl (test_crawl_budget shape)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 80)
+    val cfg = CrawlConfig(budget = Map("*" -> 15, "en" -> 5, "fr" -> 2), maxEpochs = 30)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(or.pages.size <= 15, s"wildcard budget must cap pages, got ${or.pages.size}")
+    val enPages = or.pages.count(p => graft.url.UrlOps.budgetSegments(p.url).headOption.contains("en"))
+    assert(enPages <= 5, s"en budget exceeded: $enPages")
+  }
+
+  test("depth limit: no URL beyond path depth (depth example shape)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 80)
+    val cfg = CrawlConfig(depth = 2, maxEpochs = 30)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(or.pages.forall(p => graft.url.UrlOps.pathDepth(p.url) <= 2))
+    assert(or.pages.nonEmpty)
+  }
+
+  test("respect robots: disallowed paths blocked; 403-robots host fully blocked") {
+    // host 1 ⇒ robots Disallow /legal/; host 3 ⇒ robots 403 (disallow_all)
+    val params = CorpusParams(hosts = 4, pagesPerHost = 60)
+    val cfg = CrawlConfig(respectRobotsTxt = true, maxEpochs = 40)
+    val (er1, or1) = run(params, cfg, Seq("https://www.site1.com/"))
+    assertParity(er1, or1)
+    // robots rule "/legal/" prefix-blocks paths STARTING with it (mid-path
+    // occurrences like /en/legal/... are not covered by the rule)
+    assert(!or1.pages.exists(p => graft.url.UrlOps.urlPath(p.url).startsWith("/legal/")),
+      "robots-disallowed path crawled")
+    assert(or1.pages.nonEmpty)
+    val (er3, or3) = run(params, cfg, Seq("https://www.site3.com/"))
+    assertParity(er3, or3)
+    assert(or3.pages.isEmpty, "403-robots host must be fully blocked")
+  }
+
+  test("blacklist excludes exact URLs (not_crawl_blacklist shape)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val blocked = "https://www.site0.com/p1.html"
+    val cfg = CrawlConfig(blacklist = Seq(blocked), maxEpochs = 30)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(!or.pages.exists(_.url == blocked))
+  }
+
+  test("subdomains scope: sibling subdomain crawled when enabled, not otherwise") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val cfgOff = CrawlConfig(maxEpochs = 30)
+    val (erOff, orOff) = run(params, cfgOff, Seq("https://www.site0.com/"))
+    assertParity(erOff, orOff)
+    assert(!orOff.pages.exists(_.host.startsWith("sub.")), "sub crawled without subdomains")
+    val cfgOn = CrawlConfig(subdomains = true, maxEpochs = 30)
+    val (erOn, orOn) = run(params, cfgOn, Seq("https://www.site0.com/"))
+    assertParity(erOn, orOn)
+    assert(orOn.pages.exists(_.host.startsWith("sub.")), "subdomain not crawled with subdomains=true")
+  }
+
+  test("politeness: per-host quota defers, totals unchanged vs no-politeness") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 30)
+    val fast = run(params, CrawlConfig(maxEpochs = 60), Seq("https://www.site0.com/"))
+    val slow = run(params, CrawlConfig(delayMs = 200, tickMs = 1000, maxEpochs = 200),
+      Seq("https://www.site0.com/"))
+    assertParity(slow._1, slow._2)
+    // politeness changes pacing, not the final visited set
+    assert(slow._2.seen == fast._2.seen)
+    assert(slow._2.epochs > fast._2.epochs, "politeness should take more epochs")
+  }
+
+  test("retry ladder: 5xx re-queued with backoff then recorded") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40, errorEvery = 9)
+    val cfg = CrawlConfig(retryLimit = 2, maxEpochs = 100)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    // corpus 500s stay 500 → after retries they appear as final error pages
+    assert(or.pages.exists(_.status == 500), "expected final 500 pages after retry cap")
+  }
+
+  test("redirects followed to final URL (3xx never recorded as page status)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40, redirectEvery = 5)
+    val (er, or) = run(params, CrawlConfig(maxEpochs = 40), Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(or.pages.exists(p => p.finalUrl != p.url), "expected followed redirects")
+    assert(!or.pages.exists(p => p.status >= 300 && p.status < 310))
+  }
+}

@@ -1,24 +1,122 @@
 package graft
+
+import graft.corpus.CorpusParams
+import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher, NoRobots}
+import graft.model.CrawlConfig
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Per-round benchmark. Two parts:
+  *
+  *  1. Query timings for every `SparkEntry.queries` entry at the driver's
+  *     requested parallelism (`SPARK_GRAFT_CPUS`) on `SPARK_GRAFT_SF_DIR`.
+  *  2. The authoritative metric (BASELINE.json): sustained fetch-schedule
+  *     throughput (URLs/s) of the crawl engine on an identical synthetic
+  *     frontier at N=8 and 4N=32 local cores — the sandbox stand-in for the
+  *     two-cluster-size criterion — plus a hot-host skew run. Results land
+  *     in BENCH/BASELINE.md and in the JSON line below.
+  *
+  * Prints ONE JSON line: {"metric":…,"value":…,"unit":"sec","queries":{…},
+  * "sf":…,"crawl":{…}}.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  private def session(cpus: Int): SparkSession = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    spark
+  }
+
+  /** One crawl throughput run: wide synthetic web, politeness off (the
+    * throughput ceiling), signature dedup on. Returns (urls/s, pages, secs).
+    */
+  private def crawlRun(cpus: Int, params: CorpusParams): (Double, Long, Double) = {
+    val spark = session(cpus)
+    // externalDomains "*": the whole multi-host web is in scope — the
+    // 10^10-frontier shape (reference `external_domains_caseless` wildcard)
+    val cfg = CrawlConfig(maxEpochs = 30, normalize = true, externalDomains = Set("*"))
+    val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), NoRobots,
+      expectedUrls = params.totalPages * 2)
+    // seed every host root — the seed-list replay shape (BASELINE.json);
+    // parallel trees from epoch 0 rather than serial host discovery
+    val seeds = (0 until params.hosts).map(i => s"https://www.site$i.com/")
+    val t0 = System.nanoTime()
+    val res = engine.crawl(seeds)
+    val pages = res.metrics.map(_.fetched).sum
+    val secs = (System.nanoTime() - t0) / 1e9
     spark.stop()
+    (pages / secs, pages, secs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val skipQueries = sys.env.get("SPARK_GRAFT_SKIP_QUERIES").contains("1")
+    val skipCrawl = sys.env.get("SPARK_GRAFT_SKIP_CRAWL").contains("1")
+
+    // --- part 1: query timings ---
+    var results = Map.empty[String, Double]
+    if (!skipQueries) {
+      val spark = session(cpus)
+      results = SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      spark.stop()
+    }
+
+    // --- part 2: crawl throughput at N and 4N cores, same input ---
+    var crawlJson = "{}"
+    if (!skipCrawl) {
+      // wide flat web: high fanout ⇒ few epochs ⇒ executor compute dominates
+      val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "25000").toInt
+      val params = CorpusParams(hosts = 16, pagesPerHost = pph, fanout = 16)
+      val (thr8, pages8, secs8) = crawlRun(8, params)
+      val (thr32, pages32, secs32) = crawlRun(32, params)
+      val eff = thr32 / (4.0 * thr8)
+      // skew scenario: one hot host holds ~50% of the frontier
+      val skewParams = CorpusParams(hosts = 33, pagesPerHost = 3000, fanout = 16, hotHostFactor = 32)
+      val (thrSkew, pagesSkew, secsSkew) = crawlRun(32, skewParams)
+      crawlJson =
+        f"""{"urls_per_sec_n8":$thr8%.1f,"urls_per_sec_n32":$thr32%.1f,"scaling_efficiency":$eff%.3f,""" +
+        f""""pages_n8":$pages8,"secs_n8":$secs8%.1f,"pages_n32":$pages32,"secs_n32":$secs32%.1f,""" +
+        f""""skew_urls_per_sec_n32":$thrSkew%.1f,"skew_pages":$pagesSkew,"skew_secs":$secsSkew%.1f}"""
+      val md =
+        f"""# BENCH — crawl engine scaling evidence
+           |
+           |Authoritative metric (BASELINE.json): sustained fetch-schedule
+           |throughput with >=0.8 scaling efficiency from N to 4N parallelism,
+           |evidenced at two local parallelism levels on IDENTICAL input.
+           |
+           || run | cores | pages fetched | seconds | URLs/s |
+           ||---|---|---|---|---|
+           || uniform | local[8] (N) | $pages8 | $secs8%.1f | $thr8%.1f |
+           || uniform | local[32] (4N) | $pages32 | $secs32%.1f | $thr32%.1f |
+           || skew (1 host = ~50%% of frontier, salt via host-hash parallel fetch) | local[32] | $pagesSkew | $secsSkew%.1f | $thrSkew%.1f |
+           |
+           |Scaling efficiency T_4N / (4 * T_N) = **$eff%.3f** (target >= 0.8).
+           |
+           |Corpus: deterministic generative web (no materialization),
+           |hosts=16 x pagesPerHost=25000, fanout=16; crawl config: signature
+           |dedup on, politeness/robots off (throughput ceiling). Skew run:
+           |33 hosts, host 0 holds 32x pages.
+           |
+           |Reference single-node numbers in BASELINE.md (185-page site in
+           |73ms incl. network ~= 2.5k URLs/s scheduling rate).
+           |""".stripMargin
+      Files.createDirectories(Paths.get("BENCH"))
+      Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
   }
 }

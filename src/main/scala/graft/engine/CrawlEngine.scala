@@ -29,7 +29,8 @@ final case class ScopeState(
   */
 final case class ParsedPage(
     url: String, final_url: String, host: String, depth: Int,
-    discovery_seq: Long, epoch: Long, status: Int, signature: Long,
+    discovery_seq: Long, priority: Int, attempt: Int, epoch: Long,
+    status: Int, signature: Long,
     title: String, description: String, og_image: String,
     spans: Array[Span], links: Array[String])
 
@@ -160,10 +161,20 @@ class CrawlEngine(
     // One compact bloom per epoch delta (sized to the delta), broadcast as
     // a group — never one giant filter (SURVEY §7 risk note). ---
     var blooms = Vector.empty[BloomFilter]
-    var seen = spark.emptyDataset[(String, String)].toDF("url_lower", "url")
-    var signatures = spark.emptyDataset[Long].toDF("sig")
+    // State tables accumulate as per-epoch DELTAS (each localCheckpointed
+    // once) — unioning cached deltas is O(1) per epoch, where re-checkpointing
+    // a growing table every epoch would be O(total) per epoch (quadratic).
+    var seenDeltas = Vector.empty[DataFrame]
+    var sigDeltas = Vector.empty[DataFrame]
+    var pageDeltas = Vector.empty[DataFrame]
+    val emptySeen = spark.emptyDataset[(String, String)].toDF("url_lower", "url")
+    val emptySigs = spark.emptyDataset[Long].toDF("sig")
+    val emptyPages = spark.emptyDataset[PageRow].toDF()
+    def seen: DataFrame = if (seenDeltas.isEmpty) emptySeen else seenDeltas.reduce(_ unionByName _)
+    def signatures: DataFrame = if (sigDeltas.isEmpty) emptySigs else sigDeltas.reduce(_ unionByName _)
+    def pages: DataFrame = if (pageDeltas.isEmpty) emptyPages else pageDeltas.reduce(_ unionByName _)
+    var seenCount = 0L
     var hostTokens = spark.emptyDataset[(String, Long)].toDF("host", "tokens_milli")
-    var pages = spark.emptyDataset[PageRow].toDF()
     var seqCounter = 0L
     var epoch = 0L
     val metrics = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
@@ -351,53 +362,55 @@ class CrawlEngine(
         val newSeen = admittedDs.select(lower(col("url")).as("url_lower"), col("url"))
         mergeBloom(admittedDs.select(col("url")).toDF(), admittedCount)
 
-        // 7. fetch — priority-queue emission: repartition by host, secondary
-        //    sort (desc priority, depth, discovery_seq, url) (north rule D5)
+        // 7+9. fetch + parse — priority-queue emission (repartition by host,
+        //    secondary sort desc priority/depth/seq/url, north rule D5) then
+        //    one-pass span parse, PIPELINED in a single stage and
+        //    materialized once. (Epoch 0 splits the stage because the C6
+        //    scope re-anchor must read the seed fetch result before link
+        //    extraction — `modify_selectors` `page.rs:4736-4747`.)
         val fetchReady = admittedDs
           .repartition(math.max(1, P), col("host"))
           .sortWithinPartitions(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
           .as[FrontierEntry]
-        val fetched = fetcher.fetch(spark, fetchReady).localCheckpoint(true)
+        val ep = epoch
+        val parsed: Dataset[ParsedPage] =
+          if (epoch == 0L) {
+            val fetched = fetcher.fetch(spark, fetchReady).localCheckpoint(true)
+            val ph = scope.parentHost
+            val redirHosts = fetched
+              .filter(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != ph)
+              .map(_.f_final_url).take(1)
+            if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
+            val sc = scope
+            fetched.mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
+              .localCheckpoint(true)
+          } else {
+            val sc = scope
+            fetcher.fetch(spark, fetchReady)
+              .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
+              .localCheckpoint(true)
+          }
 
         // 8. C7 retry ladder: retryable statuses re-queue with backoff and
-        //    are REMOVED from seen (`website.rs:8663-8666`)
+        //    are REMOVED from seen (`website.rs:8663-8666`); retried rows'
+        //    parse output is discarded (lazy filters over the cached parse)
         val isRetryable = (s: org.apache.spark.sql.Column) =>
           (s >= 500 && s =!= 501 && s =!= 505 && s =!= 511) || s === 429 || s === 408
-        val retries = fetched.filter(isRetryable(col("f_status")) && col("attempt") < config.retryLimit)
-        val retryDf = retries.select(col("url"), col("host"), col("depth"), col("discovery_seq"),
-          col("priority"), (col("attempt") + 1).as("attempt"),
-          // exponential backoff in logical epochs, capped (reference
-          // `backoff_delay(attempt, 1s, 60s)` `website.rs:8388-8392`)
-          (lit(epoch) + least(pow(lit(2.0), col("attempt") + 1), lit(60.0)).cast(LongType)).as("not_before"))
-        val keep = fetched.join(retries.select(col("url")), Seq("url"), "left_anti")
-          .as[FetchResult]
+        val isRetried = isRetryable(col("status")) && col("attempt") < config.retryLimit
+        val retryDf = parsed.toDF().filter(isRetried)
+          .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
+            col("priority"), (col("attempt") + 1).as("attempt"),
+            // exponential backoff in logical epochs, capped (reference
+            // `backoff_delay(attempt, 1s, 60s)` `website.rs:8388-8392`)
+            (lit(epoch) + least(pow(lit(2.0), col("attempt") + 1), lit(60.0)).cast(LongType)).as("not_before"))
         val seenDelta = newSeen.join(retryDf.select(lower(col("url")).as("url_lower")),
           Seq("url_lower"), "left_anti")
 
-        // 9a. C6 — epoch-0 cross-host seed redirect re-anchors the scope
-        //     BEFORE link extraction (`modify_selectors` runs inside the
-        //     establish fetch, `page.rs:4736-4747`)
-        if (epoch == 0L) {
-          val ph = scope.parentHost
-          val redirHosts = keep
-            .filter(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != ph)
-            .map(_.f_final_url).take(1)
-          if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
-        }
-
-        // 9b. parse + C2 link extraction + C3 metadata + C4 signature —
-        //     one pass over the span array per page
-        val sc = scope
-        val ep = epoch
-        val parsed = keep.mapPartitions { it =>
-          it.map(f => CrawlEngine.parsePage(f, sc, ep))
-        }.localCheckpoint(true)
-
-        val newPages = parsed.map { p =>
-          PageRow(p.url, p.final_url, p.host, p.depth, p.discovery_seq, p.epoch,
-            p.status, p.signature, p.title, p.description, p.og_image, p.spans)
-        }.toDF()
-        pages = (if (pages.isEmpty) newPages else pages.unionByName(newPages)).localCheckpoint(true)
+        // pages delta: lazy projection over the cached parse (no extra job)
+        pageDeltas :+= parsed.toDF().filter(!isRetried)
+          .select(col("url"), col("final_url"), col("host"), col("depth"),
+            col("discovery_seq"), col("epoch"), col("status"), col("signature"),
+            col("title"), col("description"), col("og_image"), col("spans"))
 
         // 10. C5 signature dedup: only the canonical-first page per NEW
         //     signature expands links; seen signatures expand nothing
@@ -413,7 +426,7 @@ class CrawlEngine(
           val firstPerSig = sigNew.withColumn("__srn", row_number().over(sigW))
             .filter(col("__srn") === 1).drop("__srn", "sig")
           val newSigs = firstPerSig.select(col("signature").as("sig"))
-          signatures = signatures.unionByName(newSigs).localCheckpoint(true)
+          sigDeltas :+= newSigs.localCheckpoint(true)
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
         } else {
@@ -457,8 +470,9 @@ class CrawlEngine(
           .filter(col("__rn") === 1).drop("__rn")
           .localCheckpoint(true)
 
-        seen = seen.unionByName(seenDelta).localCheckpoint(true)
-        val seenCount = seen.count()
+        val seenDeltaCk = seenDelta.localCheckpoint(true)
+        seenDeltas :+= seenDeltaCk
+        seenCount += seenDeltaCk.count()
         val frontierCount = frontier.count()
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
@@ -552,7 +566,7 @@ object CrawlEngine {
       }
     }
     val sig = signatureOf(spans)
-    ParsedPage(f.url, f.f_final_url, f.host, f.depth, f.discovery_seq, epoch,
-      f.f_status, sig, title, desc, og, spans, links.distinct.toArray)
+    ParsedPage(f.url, f.f_final_url, f.host, f.depth, f.discovery_seq, f.priority,
+      f.attempt, epoch, f.f_status, sig, title, desc, og, spans, links.distinct.toArray)
   }
 }

@@ -1,0 +1,297 @@
+package graft.queries
+
+import graft.functions.{Dedup, Multimodal, Similarity, TextFunctions}
+import graft.url.urlfns._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The engine's query surface over the driver testdata — one entry per
+  * operator family of SURVEY §2, each re-expressed relationally so the
+  * DuckDB oracle can verify it, plus the training-data pipeline operators
+  * (dedup / similarity / text analysis / multimodal).
+  *
+  * Conventions: every computed column is aliased identically in the Spark
+  * plan and the oracle SQL; float outputs are rounded; outputs avoid
+  * nondeterministic row content (ranks get total tie-breaks).
+  */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Synthesized URL over documents — the crawl-shaped test column. Mixed
+    * case + fragment exercise canonicalization; first path segment rotates
+    * through score/budget-relevant names.
+    */
+  private def urlified(docs: DataFrame): DataFrame = {
+    val seg = element_at(
+      array(lit("products"), lit("legal"), lit("en"), lit("docs"), lit("article"), lit("items")),
+      (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+    docs.withColumn("raw_url",
+      concat(lit("https://WWW.Site"), pmod(col("doc_id"), lit(20)), lit(".com/"),
+        seg, lit("/d"), col("doc_id"), lit(".html#frag")))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Relational core (joins/aggs/windows — D1-D7 shapes)
+  // ---------------------------------------------------------------- //
+
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+
+  def q3RevenueTopK(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val o = t(spark, dir, "orders")
+    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def qOrderPriority(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders").groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** LEFT ANTI — the URL-seen workhorse (B1/D2). */
+  def qAntiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+
+  def qSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+
+  /** Per-key top-k window — the politeness quota shape (B9/D5). */
+  def qWindowRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("value").desc, col("event_id"))
+    t(spark, dir, "events")
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("event_id"), col("rnk"))
+  }
+
+  def qDistinctCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem").groupBy(col("l_suppkey"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+
+  // ---------------------------------------------------------------- //
+  // Crawl-shaped operators over synthesized URLs (B/C/E ops)
+  // ---------------------------------------------------------------- //
+
+  /** C1 canonicalization via the custom Catalyst expression; oracle computes
+    * the expected canonical form independently in SQL.
+    */
+  def cUrlCanon(spark: SparkSession, dir: String): DataFrame =
+    urlified(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        canonicalize_url(col("raw_url"), col("raw_url")).as("canon_url"),
+        url_host(canonicalize_url(col("raw_url"), col("raw_url"))).as("host"))
+
+  /** B1: candidates minus seen (anti-join on url). */
+  def bSeenAntijoin(spark: SparkSession, dir: String): DataFrame = {
+    val u = urlified(t(spark, dir, "documents"))
+    val cands = u.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("doc_id"), col("raw_url"))
+    val seen = u.filter(pmod(col("doc_id"), lit(2)) === 0).select(col("raw_url"))
+    cands.join(seen, Seq("raw_url"), "left_anti").select(col("doc_id"))
+  }
+
+  /** B6: path-depth gate via the path_depth expression; oracle counts '/'. */
+  def bDepthGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("url", concat(lit("https://site.com"),
+        expr("repeat('/s', cast(doc_id % 5 as int))"), lit("/d"), col("doc_id")))
+    docs.select(col("doc_id"), path_depth(col("url")).as("depth"))
+      .filter(col("depth") <= 3)
+  }
+
+  /** B8: case-insensitive batch dedup, keep min id. */
+  def bBatchDedup(spark: SparkSession, dir: String): DataFrame = {
+    val u = t(spark, dir, "documents")
+      .withColumn("url",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          concat(lit("HTTPS://SITE.COM/P"), pmod(col("doc_id"), lit(100))))
+          .otherwise(concat(lit("https://site.com/p"), pmod(col("doc_id"), lit(100)))))
+    u.groupBy(lower(col("url")).as("url_lower"))
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n_variants"))
+  }
+
+  /** B7: per-prefix budget admission via windowed row_number. */
+  def bBudgetQuota(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t(spark, dir, "documents")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .select(col("source"), col("doc_id"), col("rn"))
+  }
+
+  /** B9: per-host politeness quota (top-k per host by priority). */
+  def bPolitenessQuota(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").withColumn("host", pmod(col("doc_id"), lit(40)))
+    val w = Window.partitionBy(col("host")).orderBy(col("n_chars").desc, col("doc_id"))
+    docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 5)
+      .select(col("host"), col("doc_id"), col("rn"))
+  }
+
+  /** B10: asset-extension filter via the is_ignored_asset expression. */
+  def bAssetFilter(spark: SparkSession, dir: String): DataFrame = {
+    val ext = element_at(array(lit(".html"), lit(".png"), lit(".php"), lit(".pdf"),
+      lit(""), lit(".zip"), lit(".htm"), lit(".mp4")), (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+    t(spark, dir, "documents")
+      .withColumn("url", concat(lit("https://site.com/f"), col("doc_id"), ext))
+      .filter(!is_ignored_asset(col("url")))
+      .select(col("doc_id"), col("url"))
+  }
+
+  /** E: score_url via the custom expression; oracle replays the formula. */
+  def dPriorityScore(spark: SparkSession, dir: String): DataFrame =
+    urlified(t(spark, dir, "documents"))
+      .select(col("doc_id"),
+        score_url(canonicalize_url(col("raw_url"), col("raw_url")),
+          pmod(col("doc_id"), lit(5)).cast("int")).as("score"))
+
+  // ---------------------------------------------------------------- //
+  // Text analysis (training-data ops)
+  // ---------------------------------------------------------------- //
+
+  def tTokenCount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.tokenEstimate(col("text")).as("n_tokens_bpe"))
+
+  def tQuality(spark: SparkSession, dir: String): DataFrame =
+    TextFunctions.qualityFeatures(t(spark, dir, "documents"), col("text"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"), col("quality_score"))
+
+  def tLangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.stopwordHits(col("text"), "the").as("en_hits"),
+        TextFunctions.stopwordHits(col("text"), "le").as("fr_hits"))
+
+  def tFingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+
+  // ---------------------------------------------------------------- //
+  // Dedup family
+  // ---------------------------------------------------------------- //
+
+  def dExactClasses(spark: SparkSession, dir: String): DataFrame = {
+    // synthesize exact dups: key on text modulo a coarse bucket so classes exist
+    val docs = t(spark, dir, "documents")
+      .withColumn("content_key", substring(col("text"), 1, 40))
+    Dedup.exactClasses(docs, col("doc_id"), col("content_key"))
+  }
+
+  def dMinhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, k = 16, bands = 4, threshold = 0.4)
+
+  def dSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 2, maxHamming = 3)
+
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // exact 3-gram Jaccard for a deterministic candidate set (id pairs in
+    // the same n_chars bucket, small blocks)
+    val d = t(spark, dir, "documents")
+      .withColumn("sh", TextFunctions.wordShingles(col("text"), 3))
+      .withColumn("blk", (col("n_chars") / lit(50)).cast("int"))
+    val a = d.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = d.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= 0.2)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def dEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    // testdata embeddings are loosely clustered (same-label max cosine ≈0.47)
+    // — 0.3 marks the near-dup tail without flooding
+    Dedup.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, planes = 6)
+
+  // ---------------------------------------------------------------- //
+  // Similarity search
+  // ---------------------------------------------------------------- //
+
+  def sAnnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.bruteForceTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5)
+  }
+
+  def sAnnLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5, planes = 4)
+  }
+
+  def eCentroids(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings").groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(element_at(col("embedding"), 1)), 4).as("c0"),
+        round(avg(element_at(col("embedding"), 2)), 4).as("c1"))
+
+  // ---------------------------------------------------------------- //
+  // Streaming-shaped (tumbling window agg; true readStream in spec)
+  // ---------------------------------------------------------------- //
+
+  def stTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
+
+  // ---------------------------------------------------------------- //
+  // Crawl end-to-end (engine; rows-only check — not SQL-expressible)
+  // ---------------------------------------------------------------- //
+
+  def crawlBasic(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.CorpusParams
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    import graft.model.CrawlConfig
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val engine = new CrawlEngine(spark, CrawlConfig(maxEpochs = 20),
+      new GenerativeFetcher(params), new CorpusRobots(params), expectedUrls = 10000)
+    engine.crawl(Seq("https://www.site0.com/")).pages
+      .select(col("url"), col("depth"), col("status"), col("signature"))
+  }
+
+  def crawlBudget(spark: SparkSession, dir: String): DataFrame = {
+    import graft.corpus.CorpusParams
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    import graft.model.CrawlConfig
+    val params = CorpusParams(hosts = 2, pagesPerHost = 60)
+    val engine = new CrawlEngine(spark,
+      CrawlConfig(budget = Map("*" -> 12, "en" -> 3), maxEpochs = 20),
+      new GenerativeFetcher(params), new CorpusRobots(params), expectedUrls = 10000)
+    engine.crawl(Seq("https://www.site0.com/")).pages
+      .select(col("url"), col("depth"), col("status"))
+  }
+
+  // ---------------------------------------------------------------- //
+  // Multimodal plumbing (stubbed decode; rows-only)
+  // ---------------------------------------------------------------- //
+
+  def mMediaMeta(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.syntheticMedia(t(spark, dir, "documents"))
+    Multimodal.resizePlan(
+      Multimodal.decodeAndExtract(spark, media).toDF(), maxDim = 512)
+      .select(col("media_id"), col("kind"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("out_width"), col("out_height"))
+  }
+}

@@ -22,6 +22,15 @@ object Drive {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
+    if (args.headOption.contains("q")) {
+      // run one SparkEntry query by name: Drive q <name> [sfDir]
+      val spark = session(8)
+      val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+      val df = graft.SparkEntry.queries(args(1))(spark, dir)
+      df.show(20, 80)
+      println("ROWS=" + df.count())
+      spark.stop(); return
+    }
     val spark = session()
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -128,7 +128,7 @@ class CrawlEngine(
   // The crawl
   // ---------------------------------------------------------------------
 
-  def crawl(seedUrls: Seq[String]): CrawlResult = {
+  def crawl(seedUrls: Seq[String], resumeFrom: Option[Checkpointer] = None): CrawlResult = {
     require(seedUrls.nonEmpty, "need at least one seed")
 
     // --- setup (reference `setup_base` + `setup_selectors`) ---
@@ -217,13 +217,53 @@ class CrawlEngine(
 
     val canonicalOrder = Seq(col("depth"), col("discovery_seq"), col("host"), col("url"))
 
+    // --- resume: restore all loop state from the latest committed snapshot
+    // (north rule: resumable from checkpoint with per-partition lineage) ---
+    resumeFrom.foreach { ck =>
+      val e = ck.latestEpoch()
+      if (e >= 0) {
+        frontier = ck.readTable(e, "frontier").localCheckpoint(true)
+        seenDeltas = Vector(ck.readTable(e, "seen").localCheckpoint(true))
+        sigDeltas = Vector(ck.readTable(e, "signatures").localCheckpoint(true))
+        pageDeltas = Vector(ck.readTable(e, "pages").localCheckpoint(true))
+        hostTokens = ck.readTable(e, "host_tokens").localCheckpoint(true)
+        seenCount = seenDeltas.head.count()
+        blooms = Vector.empty
+        mergeBloom(seenDeltas.head.select(col("url")), seenCount)
+        val m = ck.readManifest(e)
+        def longField(k: String): Option[Long] =
+          ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
+        def strField(k: String): Option[String] =
+          ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r.findFirstMatchIn(m).map(_.group(1))
+        longField("seq_counter").foreach(seqCounter = _)
+        longField("wildcard_remaining").foreach(wildcardRemaining = _)
+        "\"path_budget\":\\{([^}]*)\\}".r.findFirstMatchIn(m).foreach { g =>
+          val body = g.group(1).trim
+          if (body.nonEmpty) pathBudget = body.split(",").map { kv =>
+            val Array(k, v) = kv.split(":")
+            (k.trim.stripPrefix("\"").stripSuffix("\""), v.trim.toLong)
+          }.toMap
+        }
+        strField("redirect_host").filter(_.nonEmpty)
+          .foreach(rh => scope = scope.copy(redirectHost = rh))
+        epoch = e + 1
+      }
+    }
+
     // --- epoch loop ---
-    var done = frontier.isEmpty
+    // fast path: with politeness and retries off, nothing ever carries a
+    // not_before hold — the ready set IS the frontier and its count is known
+    // from the previous epoch (saves two driver jobs per epoch)
+    val holdsPossible = config.delayMs > 0 || config.respectRobotsTxt ||
+      config.maxPerHostPerEpoch != Int.MaxValue || config.retryLimit > 0
+    var frontierCountPrev = frontier.count()
+    var done = frontierCountPrev == 0
     while (!done) {
       // 0. candidates whose politeness/retry holdoff has passed
-      val ready = frontier.filter(col("not_before") <= lit(epoch))
-      val deferredHold = frontier.filter(col("not_before") > lit(epoch))
-      val candCount = ready.count()
+      val ready = if (holdsPossible) frontier.filter(col("not_before") <= lit(epoch)) else frontier
+      val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
+        else spark.emptyDataset[FrontierEntry].toDF()
+      val candCount = if (holdsPossible) ready.count() else frontierCountPrev
 
       if (candCount == 0) {
         // nothing ready this tick — advance logical time only
@@ -368,8 +408,13 @@ class CrawlEngine(
         //    materialized once. (Epoch 0 splits the stage because the C6
         //    scope re-anchor must read the seed fetch result before link
         //    extraction — `modify_selectors` `page.rs:4736-4747`.)
+        // host-hash partitioning WITH salt (north rule D4): a hot host that
+        // dominates the frontier would otherwise pin one task; the salt
+        // spreads each host over up to 16 tasks while keeping host affinity.
+        // Politeness quotas were already enforced upstream, so fetch order
+        // within a salt shard is pure priority emission.
         val fetchReady = admittedDs
-          .repartition(math.max(1, P), col("host"))
+          .repartition(math.max(1, P), col("host"), pmod(xxhash64(col("url")), lit(16)))
           .sortWithinPartitions(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
           .as[FrontierEntry]
         val ep = epoch
@@ -403,8 +448,12 @@ class CrawlEngine(
             // exponential backoff in logical epochs, capped (reference
             // `backoff_delay(attempt, 1s, 60s)` `website.rs:8388-8392`)
             (lit(epoch) + least(pow(lit(2.0), col("attempt") + 1), lit(60.0)).cast(LongType)).as("not_before"))
-        val seenDelta = newSeen.join(retryDf.select(lower(col("url")).as("url_lower")),
-          Seq("url_lower"), "left_anti")
+        // with retries disabled, nothing is ever removed from seen — skip
+        // the anti-join and the extra count (delta size == admitted count)
+        val seenDelta = if (config.retryLimit > 0)
+          newSeen.join(retryDf.select(lower(col("url")).as("url_lower")),
+            Seq("url_lower"), "left_anti")
+        else newSeen
 
         // pages delta: lazy projection over the cached parse (no extra job)
         pageDeltas :+= parsed.toDF().filter(!isRetried)
@@ -472,8 +521,9 @@ class CrawlEngine(
 
         val seenDeltaCk = seenDelta.localCheckpoint(true)
         seenDeltas :+= seenDeltaCk
-        seenCount += seenDeltaCk.count()
+        seenCount += (if (config.retryLimit > 0) seenDeltaCk.count() else admittedCount)
         val frontierCount = frontier.count()
+        frontierCountPrev = frontierCount
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
           newLinkCount, frontierCount, seenCount, budgetStopped)
@@ -491,6 +541,17 @@ class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** Resume a checkpointed crawl: restores frontier/seen/signatures/host
+    * state/pages + driver ledger from the latest committed snapshot and
+    * continues the epoch loop (kill-and-restart produces tables identical
+    * to an uninterrupted run — ResumeSpec).
+    */
+  def resume(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
+      robots: RobotsProvider, ck: Checkpointer, seedUrls: Seq[String],
+      expectedUrls: Long = 4L * 1000 * 1000): CrawlResult =
+    new CrawlEngine(spark, config, fetcher, robots, expectedUrls, Some(ck))
+      .crawl(seedUrls, Some(ck))
 
   /** Normalized-content signature — the reference hashes `normalize_html`
     * output (markup minus volatile attrs/links, `utils/mod.rs:9221-9300`);
@@ -550,13 +611,21 @@ object CrawlEngine {
     }
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.f_status == 200) {
+      // "/"-rooted hrefs resolve against the PAGE's own root (the reference
+      // resolves against `domain_parsed`, its single crawl root — identical
+      // for single-host crawls; for multi-host/external-domain crawls the
+      // per-page root is the only correct generalization).
+      val pageRoot = {
+        val p = UrlOps.parseCrawlBase(f.f_final_url)
+        if (p == null) scope.crawlBase else p.serialize
+      }
       i = 0
       while (i < sorted.length) {
         val s = sorted(i)
         val isLink = s.kind == "link" || (scope.fullResources && ResourceKinds.contains(s.kind))
         if (isLink && s.media_ref != null) {
           val v = UrlOps.validateLink(
-            pageUrl = f.f_final_url, crawlBase = scope.crawlBase, baseHref = baseHref,
+            pageUrl = f.f_final_url, crawlBase = pageRoot, baseHref = baseHref,
             href = s.media_ref, subMatcher = scope.subMatcher, parentHost = scope.parentHost,
             parentScheme = scope.parentScheme, redirectHost = scope.redirectHost,
             externalDomains = scope.externalDomains, fullResources = scope.fullResources)

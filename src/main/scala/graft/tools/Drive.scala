@@ -22,6 +22,54 @@ object Drive {
 
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
+    if (args.headOption.contains("frontierdiag")) {
+      import graft.corpus.CorpusParams
+      import graft.engine.{CrawlEngine, GenerativeFetcher, NoRobots}
+      import graft.model.CrawlConfig
+      val spark = session(16)
+      val params = CorpusParams(hosts = 2, pagesPerHost = 25000, fanout = 16)
+      val cfg = CrawlConfig(maxEpochs = 1, externalDomains = Set("*"))
+      val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), NoRobots,
+        expectedUrls = params.totalPages * 2)
+      val res = engine.crawl((0 until params.hosts).map(i => s"https://www.site$i.com/"))
+      println("FRONTIER after epoch0 = " + res.frontierRemainder.count())
+      res.frontierRemainder.orderBy("discovery_seq").collect()
+        .foreach(r => println("F " + r))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("pagediag")) {
+      import graft.corpus.{CorpusGen, CorpusParams}
+      import graft.engine.{CrawlEngine, FetchResult, ScopeState}
+      val params = CorpusParams(hosts = 2, pagesPerHost = 25000, fanout = 16)
+      val scope = ScopeState("", "www.site0.com", "https", "", "https://www.site0.com/",
+        Set("*"), fullResources = false)
+      for (p <- Seq(1L, 5L, 17L, 300L)) {
+        val url = CorpusGen.pageUrl(params, 0, sub = false, p)
+        val doc = CorpusGen.docFor(params, url)
+        val fr = FetchResult(url, "www.site0.com", 1, p, 100, 0, doc.status, url, doc.spans)
+        val parsed = CrawlEngine.parsePage(fr, scope, 1L)
+        val linkSpans = doc.spans.count(_.kind == "link")
+        println(s"PAGE p=$p spans=${doc.spans.length} linkSpans=$linkSpans parsedLinks=${parsed.links.length}")
+        doc.spans.filter(_.kind == "link").foreach(s => println(s"  span ${s.media_ref}"))
+        parsed.links.foreach(l => println(s"  link $l"))
+      }
+      return
+    }
+    if (args.headOption.contains("benchdiag")) {
+      import graft.corpus.CorpusParams
+      import graft.engine.{CrawlEngine, GenerativeFetcher, NoRobots}
+      import graft.model.CrawlConfig
+      val spark = session(16)
+      val params = CorpusParams(hosts = 2, pagesPerHost = 25000, fanout = 16)
+      val cfg = CrawlConfig(maxEpochs = 30, externalDomains = Set("*"))
+      val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), NoRobots,
+        expectedUrls = params.totalPages * 2)
+      val res = engine.crawl((0 until params.hosts).map(i => s"https://www.site$i.com/"))
+      println("EXPECTED=" + (params.totalPages + params.hosts * 2500))
+      println("PAGES=" + res.pages.count() + " EPOCHS=" + res.epochs)
+      res.metrics.foreach(m => println(s"M epoch=${m.epoch} cand=${m.candidates} adm=${m.admitted} links=${m.new_links} frontier=${m.frontier_size}"))
+      spark.stop(); return
+    }
     if (args.headOption.contains("q")) {
       // run one SparkEntry query by name: Drive q <name> [sfDir]
       val spark = session(8)

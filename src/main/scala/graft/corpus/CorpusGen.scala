@@ -29,7 +29,8 @@ final case class CorpusParams(
     dupContentEvery: Int = 0, // every k-th page shares content with its predecessor (0=off)
     redirectEvery: Int = 0, // every k-th page is a 301 to the next page (0=off)
     errorEvery: Int = 0, // every k-th page is a 404/500 (0=off)
-    externalLinksTo: Int = 1 // link a few pages to host (i+n)%hosts
+    externalLinksTo: Int = 1, // link a few pages to host (i+n)%hosts
+    textWords: Int = 12 // base words per text span (bench uses realistic ~150)
 ) {
   def pagesFor(hostIdx: Int): Int = if (hostIdx == 0) pagesPerHost * hotHostFactor else pagesPerHost
   def totalPages: Long = (0 until hosts).map(pagesFor(_).toLong).sum
@@ -138,7 +139,7 @@ object CorpusGen {
 
     add("title", s"Page $ck of $host", null)
     add("meta_description", sentence(hseed ^ ck, 8), null)
-    add("text", sentence(hseed ^ mix(ck * 7 + 1), 12), null)
+    add("text", sentence(hseed ^ mix(ck * 7 + 1), params.textWords), null)
 
     val pages = if (sub) subPages(params, hostIdx) else params.pagesFor(hostIdx)
 
@@ -164,7 +165,7 @@ object CorpusGen {
     if (pages > 1) {
       val cross = (mix(hseed ^ (p * 13 + 5)) & 0x7fffffffffffffffL) % pages
       add("link", null, pagePath(cross))
-      add("text", sentence(hseed ^ mix(ck * 3 + 2), 6), null)
+      add("text", sentence(hseed ^ mix(ck * 3 + 2), params.textWords / 2), null)
     }
 
     // subdomain sibling link from the apex root page
@@ -182,7 +183,7 @@ object CorpusGen {
     if (p % 6 == 2) add("link", null, "mailto:contact@" + host)
     if (p % 6 == 5) add("link", null, "#")
     if (p % 9 == 4) add("link", null, "javascript:void(0);")
-    add("text", sentence(hseed ^ mix(ck * 11 + 3), 10), null)
+    add("text", sentence(hseed ^ mix(ck * 11 + 3), params.textWords), null)
 
     out.toArray
   }

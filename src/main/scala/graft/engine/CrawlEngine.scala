@@ -155,6 +155,21 @@ class CrawlEngine(
     crawl(seedUrls).pages.as[graft.model.PageRow].collect()
   }
 
+  /** A6 — sitemap-source crawl (`crawl_sitemap` `website.rs:6994-7028`,
+    * recursive walk 12578+): each seed's `/sitemap.xml` joins the seed list;
+    * its `<loc>` entries are span-encoded links, so the ordinary parse →
+    * gate → frontier machinery ingests them. (The reference chains the
+    * sitemap AFTER the crawl; with the gate idempotent over `seen`, seeding
+    * upfront yields the same visited set when budgets are off.)
+    */
+  def crawlSitemap(seedUrls: Seq[String]): CrawlResult = {
+    val sitemaps = seedUrls.flatMap { s =>
+      val p = UrlOps.parseCrawlBase(s)
+      if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
+    }
+    crawl(seedUrls ++ sitemaps)
+  }
+
   def crawl(seedUrls0: Seq[String], resumeFrom: Option[Checkpointer] = None): CrawlResult = {
     // A2 — glob seed expansion (`features/glob.rs`, `website.rs:3875-3885`)
     val seedUrls = graft.url.Glob.expandSeeds(seedUrls0)

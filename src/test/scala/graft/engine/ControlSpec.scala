@@ -74,6 +74,19 @@ class ControlSpec extends AnyFunSuite {
     assert(res.epochs <= 2, s"timeout ignored, ran ${res.epochs} epochs")
   }
 
+  test("sitemap crawl ingests /sitemap.xml <loc> entries (A6)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // whitelist-free crawl of a host whose tree is shallow: pages only
+    // reachable via the sitemap (e.g. p38 with fanout 4 tree from root is
+    // reachable anyway, so compare WITH vs WITHOUT sitemap on seen size)
+    val plain = engine().crawl(Seq("https://www.site0.com/"))
+    val withSm = engine().crawlSitemap(Seq("https://www.site0.com/"))
+    val plainSeen = plain.seen.count()
+    val smSeen = withSm.seen.count()
+    assert(smSeen >= plainSeen + 1, s"sitemap added nothing: $plainSeen -> $smSeen")
+    assert(withSm.seen.collect().map(_.getString(0)).exists(_.endsWith("/sitemap.xml")))
+  }
+
   test("shutdown request stops the crawl gracefully (D9)") {
     spark.sparkContext.setLogLevel("ERROR")
     val e = engine(CrawlConfig(maxEpochs = 50))

@@ -83,8 +83,14 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs", "java.base/sun.security.action",
       "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    // ActiveProcessorCount pins the JVM (GC threads, common pools) to the
+    // run's core budget — otherwise the local[8] run borrows the idle 24
+    // cores for GC of the allocation-heavy generate+parse stage and the
+    // N-vs-4N comparison stops being a resources experiment.
+    val cores = mode match { case "8" => 8; case _ => 32 }
     val cmd = Seq(System.getProperty("java.home") + "/bin/java") ++ addOpens ++ Seq(
-      "-Xmx48g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-Xmx48g", s"-XX:ActiveProcessorCount=$cores",
+      "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", System.getProperty("java.class.path"), "graft.Bench")
     val pb = new ProcessBuilder(cmd: _*)
     pb.environment().put("SPARK_GRAFT_BENCH_CHILD", mode)

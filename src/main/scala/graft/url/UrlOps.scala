@@ -495,6 +495,53 @@ object UrlOps {
     rootDomain(parentHost) == hostRoot || rootDomain(subMatcher) == hostRoot
   }
 
+  /** True when `s[from..)` is a "clean" URL path: every byte already in the
+    * path-allowed set, no percent escapes, no dot segments, no query — i.e.
+    * canonicalization is the identity on it. Single scan, no allocation.
+    */
+  private def isCleanPath(s: String, from: Int): Boolean = {
+    var i = from
+    val n = s.length
+    if (i >= n || s.charAt(i) != '/') return false
+    var prev = ' '
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c <= 0x20 || c >= 0x7f || c == '"' || c == '<' || c == '>' || c == '`' ||
+        c == '{' || c == '}' || c == '?' || c == '#' || c == '%') return false
+      if (c == '.' && (prev == '/' || prev == '.')) return false // any "/." or ".." shape → slow path
+      if (c == '/' && prev == '/') return false // empty segment
+      prev = c
+      i += 1
+    }
+    true
+  }
+
+  /** Authority (host[:port]) of `url` when it is already lowercase with no
+    * userinfo and no default port; null otherwise (→ slow path).
+    */
+  private def cleanAuthority(url: String): String = {
+    val start = url.indexOf("://")
+    if (start < 0) return null
+    val scheme = url.substring(0, start)
+    val after = start + 3
+    var i = after
+    val n = url.length
+    while (i < n && url.charAt(i) != '/' && url.charAt(i) != '?' && url.charAt(i) != '#') {
+      val c = url.charAt(i)
+      if (c == '@' || (c >= 'A' && c <= 'Z')) return null
+      i += 1
+    }
+    val auth = url.substring(after, i)
+    if (auth.isEmpty) return null
+    val colon = auth.lastIndexOf(':')
+    if (colon >= 0) {
+      val port = auth.substring(colon + 1)
+      if (port.isEmpty || !port.forall(_.isDigit)) return null
+      if (DefaultPorts.get(scheme).map(_.toString).contains(port)) return null
+    }
+    auth
+  }
+
   /** Reference `validate_link` + `push_link` (`page.rs:2736-2850`): resolve
     * `href` against the right base, enforce http(s) + crawl scope, coerce
     * the scheme to the parent scheme. Returns the frontier URL or null.
@@ -502,6 +549,12 @@ object UrlOps {
     * `pageUrl` is the full URL of the page being parsed (reference
     * `original_page`); `crawlBase` the root-cleared crawl base (reference
     * `domain_parsed`); `baseHref` an optional `<base href>` override.
+    *
+    * Hot path: at 10^10 links the full parse→normalize→serialize chain is
+    * allocation-bound, so hrefs that canonicalization would leave unchanged
+    * (clean absolute paths on a clean-authority page; already-canonical full
+    * URLs) short-circuit to a single concat — bit-identical to the slow
+    * path (pinned by UrlOpsSpec property test).
     */
   def validateLink(
       pageUrl: String,
@@ -516,6 +569,67 @@ object UrlOps {
       fullResources: Boolean): String = {
     if (href == null) return null
     val h = href.trim
+
+    // scope + asset filter shared by both fast paths (exactly the slow
+    // path's checks, without materializing a Parsed)
+    def finishFast(auth: String, path: String, pathFrom: Int, scheme: String): String = {
+      val colon = auth.indexOf(':')
+      val hostName = if (colon < 0) auth else auth.substring(0, colon)
+      var can = parentHostMatch(hostName, subMatcher, parentHost, redirectHost)
+      if (!can && colon >= 0) can = parentHostMatch(auth, subMatcher, parentHost, redirectHost)
+      if (!can && externalDomains.nonEmpty)
+        can = externalDomains.contains(hostName) || externalDomains.contains("*")
+      if (!can) return null
+      if (!fullResources) {
+        val dot = path.lastIndexOf('.')
+        if (dot >= pathFrom && path.length - dot >= 3 && isIgnoredExtension(path.substring(dot + 1)))
+          return null
+      }
+      if (pathFrom == 0) parentScheme + "://" + auth + path
+      else if (scheme == parentScheme) path // path IS the full URL here
+      else parentScheme + path.substring(scheme.length)
+    }
+
+    if (baseHref == null) {
+      // FAST PATH A: clean absolute-path href against a clean-authority base
+      if (h.length > 1 && h.charAt(0) == '/' && (h.length < 2 || h.charAt(1) != '/') && isCleanPath(h, 0)) {
+        val base = if (crawlBase != null) crawlBase else pageUrl
+        val auth = if (base == null) null else cleanAuthority(base)
+        val scheme = if (base == null) null else {
+          val i = base.indexOf("://"); if (i < 0) null else base.substring(0, i)
+        }
+        if (auth != null && scheme == "https" || auth != null && scheme == "http")
+          return finishFast(auth, h, 0, scheme)
+      }
+      // FAST PATH B: already-canonical full URL
+      if (h.startsWith("https://") || h.startsWith("http://")) {
+        val auth = cleanAuthority(h)
+        if (auth != null) {
+          val schemeEnd = if (h.charAt(4) == 's') 5 else 4
+          val pathFrom = schemeEnd + 3 + auth.length
+          if (pathFrom < h.length && isCleanPath(h, pathFrom))
+            return finishFast(auth, h, pathFrom, h.substring(0, schemeEnd))
+        }
+      }
+    }
+    validateLinkSlow(pageUrl, crawlBase, baseHref, h, subMatcher, parentHost,
+      parentScheme, redirectHost, externalDomains, fullResources)
+  }
+
+  /** The unabridged resolve→parse→normalize→serialize chain (kept callable
+    * for the fast-path equivalence property test).
+    */
+  private[graft] def validateLinkSlow(
+      pageUrl: String,
+      crawlBase: String,
+      baseHref: String,
+      h: String,
+      subMatcher: String,
+      parentHost: String,
+      parentScheme: String,
+      redirectHost: String,
+      externalDomains: Set[String],
+      fullResources: Boolean): String = {
     val resolveBase =
       if (baseHref != null && parse(baseHref) != null) baseHref
       else if (relativeDirectoryUrl(h) || crawlBase == null) pageUrl

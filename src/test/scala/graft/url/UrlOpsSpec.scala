@@ -187,6 +187,37 @@ class UrlOpsSpec extends AnyFunSuite {
     assert(v9 == "https://example.com/cdn/img1")
   }
 
+  test("validateLink fast path is bit-identical to the slow chain") {
+    val hosts = Seq("www.site0.com", "sub.site0.com", "other.org", "www.site0.com:8080")
+    val paths = Seq("/a/b.html", "/", "/p1", "/x/y/z.png", "/deep/p.pdf", "/q?x=1",
+      "/has%20esc", "/dot/./seg", "/../up", "/end/", "/UPPER/Case.html", "/v1.2/file")
+    val hrefs =
+      paths ++
+        (for (h <- hosts; p <- paths.take(6)) yield s"https://$h$p") ++
+        Seq("http://www.site0.com/x", "https://WWW.SITE0.COM/x", "//www.site0.com/y",
+          "rel/path", "../up", "mailto:a@b.c", "", "#", "https://www.site0.com:443/x",
+          "https://www.site0.com", "javascript:void(0);")
+    val scopes = Seq(
+      ("", "www.site0.com", "https", "", Set.empty[String]),
+      ("www.site0.com", "www.site0.com", "https", "", Set.empty[String]),
+      ("", "www.site0.com", "http", "redir.org", Set("other.org")),
+      ("", "www.site0.com", "https", "", Set("*")))
+    var checked = 0
+    for {
+      (sm, ph, ps, rh, ext) <- scopes
+      pageUrl <- Seq("https://www.site0.com/a/page.html", "https://www.site0.com:8080/a/b")
+      full <- Seq(false, true)
+      href <- hrefs
+    } {
+      val crawlBase = UrlOps.parseCrawlBase(pageUrl).serialize
+      val fast = UrlOps.validateLink(pageUrl, crawlBase, null, href, sm, ph, ps, rh, ext, full)
+      val slow = UrlOps.validateLinkSlow(pageUrl, crawlBase, null, href.trim, sm, ph, ps, rh, ext, full)
+      assert(fast == slow, s"mismatch href=$href page=$pageUrl scope=($sm,$ph,$ps,$rh,$ext,$full): fast=$fast slow=$slow")
+      checked += 1
+    }
+    assert(checked > 500)
+  }
+
   test("budget segments mirror joint_segment accumulation (website.rs:2051-2121)") {
     assert(UrlOps.budgetSegments("https://x.com/en/fr").toSeq == Seq("en", "fr"))
     assert(UrlOps.budgetSegments("https://x.com/").toSeq == Seq(""))

@@ -113,7 +113,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "60000").toInt
+    // default sized so the full driver-run bench (31 queries at sf0.1 + 3
+    // crawl children) stays within ~10 min; the round-1 evidence runs in
+    // BENCH/BASELINE.md used 60000 (set SPARK_GRAFT_BENCH_PAGES to scale)
+    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toInt
 
     // child mode: run one isolated crawl and exit
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {

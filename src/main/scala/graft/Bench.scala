@@ -131,11 +131,17 @@ object Bench {
 
     // --- part 1: query timings ---
     var results = Map.empty[String, Double]
+    var errors = Map.empty[String, String]
     if (!skipQueries) {
       val spark = session(cpus)
       results = SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        // a crashing query must surface as an error entry, never as a
+        // fast "pass" timing
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors += name -> s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}"
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       spark.stop()
@@ -198,7 +204,10 @@ object Bench {
     }
 
     val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","crawl":$crawlJson}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir","crawl":$crawlJson}""")
   }
 }

@@ -4,12 +4,180 @@ import graft.queries.Queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver contract — one `queries` entry per implemented operator from
-  * SURVEY.md §2, with DuckDB oracle SQL where the op is SQL-expressible
-  * (non-SQL ops — the crawl engine itself, sketch-based dedup, LSH ANN,
-  * multimodal decode — get rows-only checks and are verified by the
-  * ScalaTest differential/spec suites instead).
+  * SURVEY.md §2, each with DuckDB oracle SQL (31/31).
+  *
+  * The sketch operators (MinHash/SimHash/hyperplane-LSH) use md5-derived
+  * hashes precisely so their oracle SQL can replay the exact semantics
+  * (generated below); the crawl engine queries are pinned against the
+  * sequential [[graft.oracle.OracleCrawler]]'s output as VALUES lists
+  * (re-asserted by CrawlPinSpec so the pins cannot go stale silently).
   */
 object SparkEntry {
+
+  // ------------------------------------------------------------------ //
+  // Pinned crawl oracles: the sequential OracleCrawler's page rows on the
+  // crawl_basic / crawl_budget (corpus, config, seeds), regenerated with
+  // `runMain graft.tools.Drive oracledump` and re-asserted against a live
+  // OracleCrawler run by CrawlPinSpec.
+  // ------------------------------------------------------------------ //
+  private[graft] val crawlBasicRows: Seq[String] = Seq(
+    "('https://www.site0.com/',0,200,CAST(-2484313257355071806 AS BIGINT))",
+    "('https://www.site0.com/p1.html',1,200,CAST(-6973089615341981956 AS BIGINT))",
+    "('https://www.site0.com/docs/en/p2.html',1,200,CAST(-3822099869018361603 AS BIGINT))",
+    "('https://www.site0.com/products/en/deep/p3.html',1,200,CAST(2543544740823684712 AS BIGINT))",
+    "('https://www.site0.com/legal/p4.html',1,200,CAST(-4209508404840481663 AS BIGINT))",
+    "('https://www.site0.com/products/legal/deep/p27.html',1,200,CAST(-8749438792129462578 AS BIGINT))",
+    "('https://www.site0.com/p5.html',2,200,CAST(1136163510700663489 AS BIGINT))",
+    "('https://www.site0.com/en/fr/p6.html',2,200,CAST(-8487755586748223298 AS BIGINT))",
+    "('https://www.site0.com/fr/fr/deep/p7.html',2,200,CAST(6889069706261208407 AS BIGINT))",
+    "('https://www.site0.com/docs/p8.html',2,200,CAST(2849308447895504245 AS BIGINT))",
+    "('https://www.site0.com/p9.html',2,200,CAST(1983676659082532219 AS BIGINT))",
+    "('https://www.site0.com/legal/fr/p10.html',2,200,CAST(6601008149221690089 AS BIGINT))",
+    "('https://www.site0.com/items/fr/deep/p11.html',2,200,CAST(-547820293122590771 AS BIGINT))",
+    "('https://www.site0.com/en/p12.html',2,200,CAST(-3354229052616008410 AS BIGINT))",
+    "('https://www.site0.com/p13.html',2,200,CAST(-3940472219158220818 AS BIGINT))",
+    "('https://www.site0.com/docs/docs/p14.html',2,200,CAST(1632425006741457392 AS BIGINT))",
+    "('https://www.site0.com/products/docs/deep/p15.html',2,200,CAST(-2093446455528477662 AS BIGINT))",
+    "('https://www.site0.com/legal/p16.html',2,200,CAST(8446573411822837721 AS BIGINT))",
+    "('https://www.site0.com/p17.html',2,200,CAST(-6245736222654559831 AS BIGINT))",
+    "('https://www.site0.com/en/products/p18.html',2,200,CAST(-4005678823591108195 AS BIGINT))",
+    "('https://www.site0.com/fr/products/deep/p19.html',2,200,CAST(1714124833417860975 AS BIGINT))",
+    "('https://www.site0.com/docs/p20.html',2,200,CAST(-1363511231810520165 AS BIGINT))",
+    "('https://www.site0.com/en/p24.html',2,200,CAST(-3280817119667632359 AS BIGINT))",
+    "('https://www.site0.com/p21.html',2,200,CAST(4352739125475193180 AS BIGINT))",
+    "('https://www.site0.com/legal/products/p22.html',3,200,CAST(3406867114877863972 AS BIGINT))",
+    "('https://www.site0.com/items/products/deep/p23.html',3,200,CAST(-6341698409825100498 AS BIGINT))",
+    "('https://www.site0.com/p25.html',3,200,CAST(8698222401191285412 AS BIGINT))",
+    "('https://www.site0.com/docs/legal/p26.html',3,200,CAST(-2437658066481427565 AS BIGINT))",
+    "('https://www.site0.com/legal/p28.html',3,200,CAST(-7340699608935046300 AS BIGINT))",
+    "('https://www.site0.com/p29.html',3,200,CAST(8181949331638434744 AS BIGINT))",
+    "('https://www.site0.com/en/items/p30.html',3,200,CAST(-6910539296144537450 AS BIGINT))",
+    "('https://www.site0.com/fr/items/deep/p31.html',3,200,CAST(-8987838337290858352 AS BIGINT))",
+    "('https://www.site0.com/docs/p32.html',3,200,CAST(3384793321840344885 AS BIGINT))",
+    "('https://www.site0.com/p33.html',3,200,CAST(-7186862302964273252 AS BIGINT))",
+    "('https://www.site0.com/legal/items/p34.html',3,200,CAST(-5897398674688368438 AS BIGINT))",
+    "('https://www.site0.com/items/items/deep/p35.html',3,200,CAST(2004829486423751113 AS BIGINT))",
+    "('https://www.site0.com/en/p36.html',3,200,CAST(6019062699279811774 AS BIGINT))",
+    "('https://www.site0.com/p37.html',3,200,CAST(-7103547567994675530 AS BIGINT))",
+    "('https://www.site0.com/docs/en/p38.html',3,200,CAST(7411047633829139829 AS BIGINT))",
+    "('https://www.site0.com/products/en/deep/p39.html',3,200,CAST(3633590623307712285 AS BIGINT))")
+
+  private[graft] val crawlBudgetRows: Seq[String] = Seq(
+    "('https://www.site0.com/',0,200)",
+    "('https://www.site0.com/p1.html',1,200)",
+    "('https://www.site0.com/docs/en/p2.html',1,200)",
+    "('https://www.site0.com/products/en/deep/p3.html',1,200)",
+    "('https://www.site0.com/legal/p4.html',1,200)",
+    "('https://www.site0.com/products/legal/deep/p27.html',1,200)",
+    "('https://www.site0.com/p5.html',2,200)",
+    "('https://www.site0.com/en/fr/p6.html',2,200)",
+    "('https://www.site0.com/fr/fr/deep/p7.html',2,200)",
+    "('https://www.site0.com/docs/p8.html',2,200)",
+    "('https://www.site0.com/p9.html',2,200)")
+
+
+  // ------------------------------------------------------------------ //
+  // Oracle SQL generators for the md5-hash sketch family
+  // ------------------------------------------------------------------ //
+  private object O {
+    /** DuckDB replica of TextFunctions.wordShingles(text, n) over list `w`. */
+    def shingles(n: Int): String =
+      s"list_distinct([array_to_string(w[i:i+${n - 1}],' ') for i in range(1, greatest(len(w)-${n - 2}, 1))])"
+
+    def docShingleCte(n: Int): String =
+      s"WITH w0 AS (SELECT doc_id, string_split(lower(text),' ') AS w FROM documents), " +
+        s"d AS (SELECT doc_id, ${shingles(n)} AS sh FROM w0), " +
+        "dd AS (SELECT doc_id, sh FROM d WHERE len(sh) > 0)"
+
+    def jac(a: String, b: String): String =
+      s"round(len(list_intersect($a,$b))::DOUBLE / len(list_distinct(list_concat($a,$b))), 4)"
+
+    /** TextHash.minhashSig: sig_i = min (a*c_i + b) mod P over shingles. */
+    def minhashSigSql: String = {
+      val terms = (0 until 16).map { i =>
+        val c = graft.functions.TextHash.permMultiplier(i)
+        s"list_min([(x.a*$c + x.b) % ${graft.functions.TextHash.MinhashPrime} for x in hp])"
+      }
+      terms.mkString("[", ", ", "]")
+    }
+
+    def minhashPairsSql(bands: Int, r: Int, threshold: Double): String = {
+      val bandEq = (0 until bands).map { b =>
+        val lo = b * r + 1; val hi = b * r + r
+        s"a.sig[$lo:$hi] = b.sig[$lo:$hi]"
+      }.mkString(" OR ")
+      docShingleCte(3) +
+        ", ab AS (SELECT doc_id, sh, list_transform(sh, s -> {'a': CAST('0x'||substr(md5(s),1,7) AS BIGINT), " +
+        "'b': CAST('0x'||substr(md5(s),9,7) AS BIGINT)}) AS hp FROM dd), " +
+        s"s AS (SELECT doc_id, sh, $minhashSigSql AS sig FROM ab), " +
+        s"p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sha, b.sh AS shb " +
+        s"FROM s a JOIN s b ON a.doc_id < b.doc_id WHERE $bandEq) " +
+        s"SELECT id_a, id_b, jaccard FROM (SELECT id_a, id_b, ${jac("sha", "shb")} AS jaccard FROM p) " +
+        s"WHERE jaccard >= $threshold"
+    }
+
+    def simhashPairsSql(maxHamming: Int): String = {
+      val bits = (0 until 60).map { i =>
+        s"(CASE WHEN 2*list_sum([(x >> $i) & 1 for x in hs]) >= n THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString(" + ")
+      docShingleCte(2) +
+        ", h AS (SELECT doc_id, list_transform(sh, s -> CAST('0x'||substr(md5(s),1,15) AS BIGINT)) AS hs, len(sh) AS n FROM dd), " +
+        s"m AS (SELECT doc_id, $bits AS sim FROM h) " +
+        "SELECT id_a, id_b, hamming FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        "CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming FROM m a JOIN m b ON a.doc_id < b.doc_id) " +
+        s"WHERE hamming <= $maxHamming"
+    }
+
+    def ngramJaccardSql(threshold: Double): String =
+      docShingleCte(3) +
+        " SELECT id_a, id_b, jaccard FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b, " +
+        s"${jac("a.sh", "b.sh")} AS jaccard FROM dd a JOIN dd b ON a.doc_id < b.doc_id) " +
+        s"WHERE jaccard >= $threshold"
+
+    /** Similarity.bucketIds: integer-quantized hyperplane bucket for table t. */
+    def bucketSql(t: Int, planes: Int, dim: Int): String =
+      (0 until planes).map { p =>
+        val ws = (0 until dim).map(j => graft.functions.Similarity.hyperplaneWeight(t, p, j))
+          .mkString("[", ",", "]")
+        s"(CASE WHEN list_sum([CAST(floor(CAST(embedding[j] AS DOUBLE)*1024) AS BIGINT) * ($ws)[j] " +
+          s"for j in range(1,${dim + 1})]) >= 0 THEN ${1L << p} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+
+    def embeddingNearDupsSql(tables: Int, planes: Int, dim: Int, threshold: Double): String = {
+      val buckets = (0 until tables).map(t => s"${bucketSql(t, planes, dim)} AS b$t").mkString(", ")
+      val bandEq = (0 until tables).map(t => s"a.b$t = c.b$t").mkString(" OR ")
+      s"WITH b AS (SELECT vec_id, embedding, $buckets FROM embeddings) " +
+        "SELECT id_a, id_b FROM (SELECT a.vec_id AS id_a, c.vec_id AS id_b, " +
+        "list_cosine_similarity(a.embedding, c.embedding) AS cos " +
+        s"FROM b a JOIN b c ON a.vec_id < c.vec_id WHERE $bandEq) " +
+        s"WHERE cos >= $threshold"
+    }
+
+    def annLshSql(tables: Int, planes: Int, dim: Int, k: Int): String = {
+      val buckets = (0 until tables).map(t => s"${bucketSql(t, planes, dim)} AS b$t").mkString(", ")
+      val bandEq = (0 until tables).map(t => s"c.b$t = q.b$t").mkString(" OR ")
+      s"WITH b AS (SELECT vec_id, $buckets FROM embeddings), " +
+        s"cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id " +
+        s"FROM b c JOIN b q ON q.vec_id < 5 AND c.vec_id <> q.vec_id AND ($bandEq)) " +
+        "SELECT query_id, neighbor_id, rank FROM (SELECT query_id, neighbor_id, " +
+        "row_number() OVER (PARTITION BY query_id ORDER BY " +
+        "list_cosine_similarity(ce.embedding, qe.embedding) DESC, neighbor_id) AS rank " +
+        "FROM cand JOIN embeddings ce ON ce.vec_id = neighbor_id " +
+        "JOIN embeddings qe ON qe.vec_id = query_id) " +
+        s"WHERE rank <= $k"
+    }
+
+    def mediaMetaSql(maxDim: Int): String =
+      "WITH c AS (SELECT doc_id, CAST('0x'||substr(md5(text),1,15) AS BIGINT) AS cs FROM documents), " +
+        "wh AS (SELECT doc_id, CAST(64 + cs % 1920 AS INT) AS width, " +
+        "CAST(64 + (cs >> 17) % 1080 AS INT) AS height FROM c) " +
+        "SELECT doc_id AS media_id, " +
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'video' ELSE 'audio' END AS kind, " +
+        "width, height, " +
+        s"CAST(floor(width * least(1.0, $maxDim.0 / greatest(width, height))) AS INT) AS out_width, " +
+        s"CAST(floor(height * least(1.0, $maxDim.0 / greatest(width, height))) AS INT) AS out_height " +
+        "FROM wh"
+  }
 
   /** Flagship: a full crawl through the engine on the synthetic corpus. */
   def entry(spark: SparkSession): DataFrame = Queries.crawlBasic(spark, "")
@@ -165,6 +333,20 @@ object SparkEntry {
         |  row_number() OVER (PARTITION BY q.vec_id
         |    ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id) AS rank
         | FROM embeddings c CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
-        | WHERE c.vec_id <> q.vec_id) WHERE rank <= 5""".stripMargin
+        | WHERE c.vec_id <> q.vec_id) WHERE rank <= 5""".stripMargin,
+    // sketch family: generated SQL replaying the md5-derived hashes exactly
+    "d_minhash_pairs" -> O.minhashPairsSql(bands = 4, r = 4, threshold = 0.4),
+    "d_simhash_pairs" -> O.simhashPairsSql(maxHamming = 3),
+    "d_ngram_jaccard" -> O.ngramJaccardSql(threshold = 0.2),
+    "d_embedding_near_dups" -> O.embeddingNearDupsSql(tables = 4, planes = 4, dim = 64, threshold = 0.3),
+    "s_ann_lsh" -> O.annLshSql(tables = 4, planes = 3, dim = 64, k = 5),
+    "m_media_meta" -> O.mediaMetaSql(maxDim = 512),
+    // crawl engine: pinned OracleCrawler output (see CrawlPinSpec)
+    "crawl_basic" ->
+      ("SELECT * FROM (VALUES " + crawlBasicRows.mkString(", ") +
+        ") AS t(url, depth, status, signature)"),
+    "crawl_budget" ->
+      ("SELECT * FROM (VALUES " + crawlBudgetRows.mkString(", ") +
+        ") AS t(url, depth, status)")
   )
 }

@@ -1,19 +1,31 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed
   * around its shuffle shape at 100TB:
   *
   *  - exact: one hash-aggregate on the content key (map-side partial).
-  *  - MinHash+LSH: shingle → k minhashes → b bands → self-join per band
-  *    BUCKET (equi-join, never a cross join); candidate pairs verified with
-  *    exact Jaccard. Shuffle is O(rows·b), join keys are band hashes.
-  *  - SimHash: 64-bit signature, banded into 4×16-bit keys (Hamming ≤ 3 ⇒
-  *    at least one identical band by pigeonhole) → equi-join, verify by
-  *    Hamming distance.
-  *  - n-gram Jaccard: exact verify on candidate pairs only.
+  *  - MinHash+LSH: shingle → one-pass k-minhash signature (codegen
+  *    expression) → b bands → id-only self-join per band bucket (the
+  *    shingle arrays never cross the band shuffle; shuffle volume is
+  *    O(rows·b·r·8 bytes)) → candidate (id_a,id_b) pairs deduped → ONE
+  *    re-join to fetch shingles → exact-Jaccard verification.
+  *  - SimHash: one-pass 60-bit signature (codegen expression), banded into
+  *    4×15-bit keys (Hamming ≤ 3 ⇒ at least one identical band by
+  *    pigeonhole) → id+signature-only equi-join, verify Hamming distance.
+  *  - n-gram Jaccard: EXACT threshold similarity join via prefix filtering
+  *    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
+  *    order each doc's shingles rare-first by global frequency, index only
+  *    the first |S|-⌈t·|S|⌉+1 of them — pairs with J ≥ t provably share an
+  *    indexed shingle, so recall is 1.0 while hot (frequent) shingles stay
+  *    out of the inverted index. Bucket size is bounded by shingle rarity,
+  *    never by document-length clustering.
+  *
+  * All sketch hashes are md5-derived ([[TextHash]]) so the DuckDB oracle
+  * can replay the exact semantics.
   */
 object Dedup {
 
@@ -25,101 +37,137 @@ object Dedup {
       .agg(min(id).as("representative"), count(lit(1)).as("dup_count"))
       .filter(col("dup_count") > 1)
 
-  /** MinHash signature: k minimum hashes over the shingle set, permutation
-    * i = xxhash64 seeded with i (ANSI-safe: no wrapping arithmetic). Pure
-    * column expressions (aggregate over the array), no UDF.
-    */
-  def minhashSignature(shingles: Column, k: Int): Column = {
-    val hashes = (0 until k).map { i =>
-      array_min(transform(shingles, s => xxhash64(s, lit(i))))
-    }
-    array(hashes: _*)
-  }
+  /** MinHash signature: one codegen pass over the shingle array. */
+  def minhashSignature(shingles: Column, k: Int): Column = hashfns.minhash_sig(shingles, k)
 
   /** MinHash-LSH near-dup candidate pairs with exact-Jaccard verification.
     *
-    * @param bands  b bands of r = k/b rows each; collision in ≥1 band ⇒
-    *               candidate.
-    * @return (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold
+    * Semantics (deterministic, oracle-replayable): a pair is emitted iff
+    * (a) its k-minhash signatures agree on at least one of the `bands`
+    * r-row bands, and (b) exact Jaccard of the shingle sets ≥ threshold.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val withSig = df
-      .withColumn("__sh", TextFunctions.wordShingles(col(textCol), shingleN))
+    val base = df
+      .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignature(col("__sh"), k))
-    // band keys: hash of each signature slice
-    val banded = withSig.select(
-      col(idCol).as("__id"), col("__sh"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(concat_ws(",", slice(col("__sig"), b * r + 1, r)), lit(b))): _*))
+    // band keys are the signature slices themselves (array<long> join keys —
+    // exact band equality, no hash-collision recheck needed)
+    val banded = base
+      .select(col("__id"), minhashSignature(col("__sh"), k).as("__sig"))
+      .select(col("__id"), posexplode(
+        array((0 until bands).map(b => slice(col("__sig"), b * r + 1, r)): _*))
         .as(Seq("__band", "__bkey")))
-    val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"), col("__sh").as("sh_a"))
-    val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"), col("__sh").as("sh_b"))
-    val cands = a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+    val cands = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+      .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
+        Seq("__band", "__bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // one re-join carries shingles only for the (small) candidate set
     cands
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .join(base.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(base.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over word shingles: per-bit majority vote of shingle
-    * hashes, expressed as column aggregates (no UDF).
-    */
-  def simhash64(shingles: Column): Column = {
-    // for each bit i: count shingles with bit set, compare to half
-    val n = size(shingles)
-    val bits = (0 until 64).map { i =>
-      val ones = aggregate(shingles, lit(0),
-        (acc, s) => acc + shiftrightunsigned(xxhash64(s), i).bitwiseAND(lit(1L)).cast("int"))
-      when(ones * 2 >= n, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((x: Column, y: Column) => x.bitwiseOR(y))
-  }
+  /** 60-bit SimHash over word shingles: one codegen pass. */
+  def simhash(shingles: Column): Column = hashfns.simhash60(shingles)
 
-  /** SimHash near-dup pairs: 4×16-bit band blocking (Hamming ≤ 3 ⇒ some
-    * band equal), verified by exact Hamming distance.
+  /** SimHash near-dup pairs: 4×15-bit band blocking, verified by exact
+    * Hamming distance. For maxHamming ≤ 3 the band guarantee is total
+    * (pigeonhole), so the output is exactly {pairs | hamming ≤ maxHamming}.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
     val withSig = df
-      .withColumn("__sh", TextFunctions.wordShingles(col(textCol), shingleN))
+      .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
-      .withColumn("__sim", simhash64(col("__sh")))
-    val banded = withSig.select(col(idCol).as("__id"), col("__sim"),
+      .select(col("__id"), simhash(col("__sh")).as("__sim"))
+    val banded = withSig.select(col("__id"), col("__sim"),
       posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("__sim"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        shiftrightunsigned(col("__sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
         .as(Seq("__band", "__bkey")))
     val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"), col("__sim").as("sim_a"))
     val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"), col("__sim").as("sim_b"))
-    val hamming = bit_count(col("sim_a").bitwiseXOR(col("sim_b")))
     a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming")).distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for given candidate pairs (or all pairs
-    * within small blocks) — the verification primitive.
-    */
+  /** Exact n-gram Jaccard similarity of two shingle-array columns. */
   def jaccard(shA: Column, shB: Column): Column =
     round(size(array_intersect(shA, shB)).cast("double") /
       size(array_union(shA, shB)), 4)
 
-  /** Embedding cosine near-dup pairs via brute-force within LSH buckets —
-    * see [[Similarity.cosine]] for the scalar.
+  /** EXACT Jaccard threshold self-join via prefix filtering — returns ALL
+    * pairs with J(shingles_a, shingles_b) ≥ threshold (recall 1.0, no
+    * sketch approximation).
+    *
+    * Prefix-filter lemma: order every document's shingles by one global
+    * total order (frequency asc, shingle asc — rare first); if
+    * |A∩B| ≥ ⌈t·|A|⌉ then A's first |A|-⌈t·|A|⌉+1 shingles intersect B's
+    * prefix. So indexing only prefixes keeps recall 1.0 while the inverted
+    * index skips exactly the hot shingles that would blow up bucket sizes.
+    * Shuffle shape: O(rows·prefix) index entries joined on rare keys —
+    * never an all-pairs block join.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val docs = df
+      .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      .filter(size(col("__sh")) > 0)
+    val toks = docs.select(col("__id"), size(col("__sh")).as("__m"), explode(col("__sh")).as("__s"))
+    val freq = toks.groupBy(col("__s")).agg(count(lit(1)).as("__f"))
+    // rare-first rank within each doc; keep the prefix. The 1e-9 slack keeps
+    // ceil() exact where t*m is a true integer (double rounding would
+    // otherwise shorten the prefix and break the recall-1.0 guarantee).
+    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
+    val prefix = toks.join(freq, Seq("__s"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= col("__m") - ceil(lit(threshold) * col("__m") - lit(1e-9)) + 1)
+      .select(col("__s"), col("__id"), col("__m"))
+    // size filter is a necessary condition of J>=t (with -1 slack against
+    // double rounding): t*|a| <= |b| <= |a|/t
+    val cands = prefix.select(col("__s"), col("__id").as("id_a"), col("__m").as("__ma"))
+      .join(prefix.select(col("__s"), col("__id").as("id_b"), col("__m").as("__mb")), Seq("__s"))
+      .filter(col("id_a") < col("id_b") &&
+        col("__mb").cast("double") >= lit(threshold) * col("__ma") - 1 &&
+        col("__ma").cast("double") >= lit(threshold) * col("__mb") - 1)
+      .select(col("id_a"), col("id_b")).distinct()
+    cands
+      .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))
+      .join(docs.select(col("__id").as("id_b"), col("__sh").as("__sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("__sh_a"), col("__sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Embedding cosine near-dup pairs via multi-table hyperplane LSH —
+    * candidates are id-only band-bucket collisions (bucket count scales
+    * with corpus size via `planes`, see [[Similarity.planesFor]]); exact
+    * cosine verifies. Output is float-free (id pairs only).
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, planes: Int = 8, seed: Long = 7L): DataFrame = {
-    val bucketed = Similarity.withHyperplaneBucket(df, vecCol, planes, seed)
-    val a = bucketed.select(col("__bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = bucketed.select(col("__bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("__bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", round(Similarity.cosine(col("va"), col("vb")), 4))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine")).distinct()
+      threshold: Double = 0.95, tables: Int = 4, planes: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = df.select(col(idCol).as("__id"),
+      posexplode(Similarity.bucketIds(col(vecCol), tables, planes, dim)).as(Seq("__t", "__bkt")))
+    val cands = bucketed.select(col("__t"), col("__bkt"), col("__id").as("id_a"))
+      .join(bucketed.select(col("__t"), col("__bkt"), col("__id").as("id_b")), Seq("__t", "__bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val vecs = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    cands
+      .join(vecs.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(vecs.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 }

@@ -22,13 +22,16 @@ object Multimodal {
   /** STUB decoder: derives deterministic pseudo-metadata from the raw
     * bytes. A real deployment swaps this body for an actual codec call;
     * the signature (Array[Byte] → MediaMeta) is the contract.
+    *
+    * The checksum is the md5-derived [[TextHash.hash60]] so the DuckDB
+    * oracle can replay width/height exactly:
+    * `checksum = CAST('0x'||substr(md5(payload_text),1,15) AS BIGINT)`,
+    * `width = 64 + checksum % 1920`, `height = 64 + (checksum >> 17) % 1080`.
     */
   def decodeStub(bytes: Array[Byte], kind: String): MediaMeta = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
-    val w = 64 + (math.abs(h) % 1920).toInt
-    val hgt = 64 + (math.abs(h >> 17) % 1080).toInt
+    val h = TextHash.hash60(bytes) // non-negative 60-bit
+    val w = 64 + (h % 1920L).toInt
+    val hgt = 64 + ((h >> 17) % 1080L).toInt
     MediaMeta(w, hgt, bytes.length.toLong, kind, h)
   }
 

@@ -9,9 +9,17 @@ import org.apache.spark.sql.functions._
   *    row with a codegen'd `zip_with`/`aggregate` dot product, per-query
   *    window top-k. One scan of the corpus, no corpus self-shuffle — the
   *    right baseline at 100TB when queries ≪ corpus.
-  *  - Hyperplane-LSH (random projections) bucketing: IVF-style scale path —
-  *    equi-join on bucket id restricts scoring to candidates sharing a
-  *    bucket; probe multiple buckets for recall.
+  *  - Multi-table hyperplane LSH (IVF-style scale path): L independent
+  *    tables of p sign-bit projections each. Bucket count per table is 2^p
+  *    and p is chosen from the corpus size ([[planesFor]]) so expected
+  *    bucket occupancy stays constant as data grows — candidate volume is
+  *    O(n·L·bucketSize), never O(n²/constant). Multi-table union recovers
+  *    the recall a single bucket loses.
+  *
+  * Projections are INTEGER-quantized (`floor(x·1024) · w`, md5-derived
+  * integer weights): the bucket id is a function of exact integer sums, so
+  * it is bit-identical across engines and summation orders — the DuckDB
+  * oracle replays it exactly.
   */
 object Similarity {
 
@@ -45,38 +53,58 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Random-hyperplane bucket id: sign bits of `planes` fixed pseudo-random
-    * projections. Deterministic in (dim, planes, seed); hyperplane
-    * components come from the splitmix stream.
+  /** Integer hyperplane weight w(table, plane, j) ∈ [-1000, 1000].
+    * DuckDB parity:
+    * `(CAST('0x'||substr(md5('hp:'||t||':'||p||':'||j),1,7) AS BIGINT) % 2001) - 1000`.
     */
-  def withHyperplaneBucket(df: DataFrame, vecCol: String, planes: Int, seed: Long): DataFrame = {
-    // component j of plane p = mix(seed, p, j) mapped to [-1, 1]
-    val bucketBits = (0 until planes).map { p =>
-      val proj = aggregate(
-        zip_with(col(vecCol),
-          transform(sequence(lit(0), size(col(vecCol)) - 1),
-            j => pmod(xxhash64(lit(seed), lit(p), j), lit(2000001L)).cast("double") / 1000000.0 - 1.0),
-          (x, h) => x * h),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    df.withColumn("__bucket", bucketBits.reduce((a: Column, b: Column) => a.bitwiseOR(b)))
+  def hyperplaneWeight(table: Int, plane: Int, j: Int): Long = {
+    val b = TextHash.md5(s"hp:$table:$plane:$j".getBytes("UTF-8"))
+    (TextHash.hash28a(b) % 2001L) - 1000L
   }
 
-  /** LSH-bucketed approximate top-k: score only candidates sharing the
-    * query's hyperplane bucket. Returns the same shape as brute force;
+  /** Planes per table scaled to corpus size: 2^planes ≈ n / targetBucket,
+    * keeping expected bucket occupancy constant as the corpus grows — the
+    * property the fixed-bucket round-1 design lacked (corpus²/2^planes is
+    * quadratic when planes is a constant).
+    */
+  def planesFor(n: Long, targetBucket: Int = 64): Int =
+    math.max(2, math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt)
+
+  /** One bucket id per table: p sign bits of integer-quantized projections.
+    * `floor(x·1024)` is exact fixed-point (×1024 is an exponent shift), the
+    * weighted sum is pure integer arithmetic — order-independent and
+    * engine-independent.
+    */
+  def bucketIds(vec: Column, tables: Int, planes: Int, dim: Int): Column = {
+    array((0 until tables).map { t =>
+      (0 until planes).map { p =>
+        val ws = typedlit((0 until dim).map(j => hyperplaneWeight(t, p, j)))
+        val proj = aggregate(
+          zip_with(vec, ws, (x, w) => floor(x.cast("double") * 1024).cast("long") * w),
+          lit(0L), (acc, v) => acc + v)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
+    }: _*)
+  }
+
+  /** LSH-bucketed approximate top-k: score only candidates sharing ≥1 of
+    * the query's L table buckets. Returns the same shape as brute force;
     * recall measured against it in the spec.
     */
   def lshTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
-      planes: Int = 6, seed: Long = 7L): DataFrame = {
+      tables: Int = 4, planes: Int = 4, dim: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bc = withHyperplaneBucket(corpus, vecCol, planes, seed)
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v"), col("__bucket"))
-    val bq = withHyperplaneBucket(queries.withColumnRenamed(qvecCol, "__q"), "__q", planes, seed)
-      .select(col(qidCol).as("query_id"), col("__q"), col("__bucket"))
-    val scored = bc.join(broadcast(bq), Seq("__bucket"))
+    val bc = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(bucketIds(col(vecCol), tables, planes, dim)).as(Seq("__t", "__bkt")))
+    val bq = queries.select(col(qidCol).as("query_id"),
+      posexplode(bucketIds(col(qvecCol), tables, planes, dim)).as(Seq("__t", "__bkt")))
+    val cands = bc.join(broadcast(bq), Seq("__t", "__bkt"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id")).distinct()
+    val scored = cands
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v")), Seq("neighbor_id"))
+      .join(broadcast(queries.select(col(qidCol).as("query_id"), col(qvecCol).as("__q"))), Seq("query_id"))
       .withColumn("__cos", cosine(col("__v"), col("__q")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("neighbor_id"))

@@ -1,0 +1,163 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** md5-derived hash primitives shared by the sketch operators (MinHash,
+  * SimHash, hyperplane LSH, media checksums).
+  *
+  * Design constraint: every hash here must be computable bit-for-bit in
+  * plain ANSI-ish SQL so the driver's DuckDB oracle can replay the exact
+  * semantics (`CAST('0x' || substr(md5(s), i, n) AS BIGINT)`), which is what
+  * turns the sketch family from "trust my specs" into driver-verified
+  * correctness rows. md5 is marginally slower than xxhash64 per call, but
+  * each operator makes exactly ONE pass over its input array inside a
+  * codegen'd Catalyst expression — replacing the round-1 design of 16-64
+  * interpreted higher-order `aggregate()` passes per row (the single biggest
+  * bench cost at sf0.1: 121 s for SimHash alone).
+  */
+object TextHash {
+
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def md5(bytes: Array[Byte]): Array[Byte] = {
+    val d = mdLocal.get()
+    d.reset()
+    d.digest(bytes)
+  }
+
+  /** First 15 hex chars of md5 as a non-negative 60-bit long.
+    * DuckDB parity: `CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)`.
+    */
+  def hash60(bytes: Array[Byte]): Long = {
+    val b = md5(bytes)
+    (((b(0) & 0xffL) << 56) | ((b(1) & 0xffL) << 48) | ((b(2) & 0xffL) << 40) |
+      ((b(3) & 0xffL) << 32) | ((b(4) & 0xffL) << 24) | ((b(5) & 0xffL) << 16) |
+      ((b(6) & 0xffL) << 8) | (b(7) & 0xffL)) >>> 4
+  }
+
+  def hash60Utf8(s: UTF8String): Long = hash60(s.getBytes)
+
+  /** 28-bit hash from md5 hex chars 1-7 (`substr(md5(s),1,7)`). */
+  def hash28a(b: Array[Byte]): Long =
+    ((b(0) & 0xffL) << 20) | ((b(1) & 0xffL) << 12) | ((b(2) & 0xffL) << 4) | ((b(3) & 0xffL) >>> 4)
+
+  /** 28-bit hash from md5 hex chars 9-15 (`substr(md5(s),9,7)`). */
+  def hash28b(b: Array[Byte]): Long =
+    ((b(4) & 0xffL) << 20) | ((b(5) & 0xffL) << 12) | ((b(6) & 0xffL) << 4) | ((b(7) & 0xffL) >>> 4)
+
+  /** Largest prime below 2^28 — the minhash permutation modulus. */
+  val MinhashPrime: Long = 268435399L
+
+  /** Per-permutation odd multipliers, md5-derived (inlined as literal
+    * constants into the oracle SQL).
+    */
+  def permMultiplier(i: Int): Long = hash28a(md5(s"perm:$i".getBytes("UTF-8"))) | 1L
+
+  /** k MinHash values in ONE pass over the shingle array.
+    *
+    * Hash family: h_i(s) = (a(s)·c_i + b(s)) mod P over two independent
+    * 28-bit md5 slices (products < 2^56 — no overflow in either engine).
+    * A plain linear family (a + i·b) is NOT enough: the argmin becomes
+    * dominated by min b(s) as i grows, so the k minima correlate and bands
+    * deterministically miss true near-dups. DuckDB parity per shingle:
+    * a = `CAST('0x'||substr(md5(s),1,7) AS BIGINT)`,
+    * b = `...substr(md5(s),9,7)...`, h_i = `(a*c_i + b) % 268435399`.
+    */
+  def minhashSig(arr: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val mult = Array.tabulate(k)(permMultiplier)
+    val n = arr.numElements()
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        val b = md5(s.getBytes)
+        val ha = hash28a(b)
+        val hb = hash28b(b)
+        var j = 0
+        while (j < k) {
+          val h = (ha * mult(j) + hb) % MinhashPrime
+          if (h < mins(j)) mins(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** 60-bit SimHash in ONE pass: per-bit majority vote (2*ones >= n) of the
+    * shingles' hash60 values. 60 bits (not 64) so the per-shingle hash and
+    * every band stay non-negative in BIGINT arithmetic on both engines.
+    */
+  def simhash60(arr: ArrayData): Long = {
+    val ones = new Array[Int](60)
+    val n = arr.numElements()
+    var cnt = 0
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        cnt += 1
+        val h = hash60(s.getBytes)
+        var j = 0
+        while (j < 60) { ones(j) += ((h >>> j) & 1L).toInt; j += 1 }
+      }
+      i += 1
+    }
+    var r = 0L
+    var j = 0
+    while (j < 60) { if (2 * ones(j) >= cnt) r |= (1L << j); j += 1 }
+    r
+  }
+}
+
+/** `minhash_sig(shingles, k)` → array<long>: one-pass k-MinHash signature. */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(a: Any): Any =
+    TextHash.minhashSig(a.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.minhashSig($c, $k)")
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** `simhash60(shingles)` → long: one-pass 60-bit SimHash. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(a: Any): Any =
+    TextHash.simhash60(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.simhash60($c)")
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+/** `hash60(str)` → long: md5-derived 60-bit content hash (fingerprints). */
+case class Hash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(s: Any): Any =
+    TextHash.hash60Utf8(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextHash.hash60Utf8($c)")
+  override protected def withNewChildInternal(c: Expression): Hash60 = copy(child = c)
+}
+
+/** Column-level API for the hash expressions. */
+object hashfns {
+  import GraftSqlBridge.{toColumn => column}
+  private def e(c: Column): Expression = GraftSqlBridge.toExpression(c)
+  def minhash_sig(shingles: Column, k: Int): Column = column(MinHashSig(e(shingles), k))
+  def simhash60(shingles: Column): Column = column(SimHash60(e(shingles)))
+  def hash60(s: Column): Column = column(Hash60(e(s)))
+}

@@ -48,9 +48,11 @@ object Queries {
         count(lit(1)).as("count_order"))
 
   def q3RevenueTopK(spark: SparkSession, dir: String): DataFrame = {
+    // no broadcast hint: orders is NOT a small side at sf >= 1 — let AQE
+    // pick the join strategy from runtime stats
     val li = t(spark, dir, "lineitem")
     val o = t(spark, dir, "orders")
-    li.join(broadcast(o), li("l_orderkey") === o("o_orderkey"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
       .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -202,25 +204,20 @@ object Queries {
     Dedup.simhashPairs(t(spark, dir, "documents"), "doc_id", "text",
       shingleN = 2, maxHamming = 3)
 
-  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // exact 3-gram Jaccard for a deterministic candidate set (id pairs in
-    // the same n_chars bucket, small blocks)
-    val d = t(spark, dir, "documents")
-      .withColumn("sh", TextFunctions.wordShingles(col("text"), 3))
-      .withColumn("blk", (col("n_chars") / lit(50)).cast("int"))
-    val a = d.select(col("blk"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = d.select(col("blk"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", Dedup.jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= 0.2)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+  def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    // EXACT threshold similarity join (prefix-filtered inverted index,
+    // recall 1.0) — every pair with 3-gram Jaccard >= 0.2, no blocking
+    // approximation, so the DuckDB oracle is a brute-force cross join
+    Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
+      shingleN = 3, threshold = 0.2)
 
   def dEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     // testdata embeddings are loosely clustered (same-label max cosine ≈0.47)
-    // — 0.3 marks the near-dup tail without flooding
+    // — 0.3 marks the near-dup tail without flooding. 4 tables × 2^4
+    // buckets suit the 500-5000-row test corpus; at scale pass
+    // planes = Similarity.planesFor(n).
     Dedup.embeddingNearDups(t(spark, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.3, planes = 6)
+      threshold = 0.3, tables = 4, planes = 4, dim = 64)
 
   // ---------------------------------------------------------------- //
   // Similarity search
@@ -237,7 +234,8 @@ object Queries {
     val emb = t(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5, planes = 4)
+    Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", k = 5,
+      tables = 4, planes = 3, dim = 64)
   }
 
   def eCentroids(spark: SparkSession, dir: String): DataFrame =

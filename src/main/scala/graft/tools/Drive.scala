@@ -21,6 +21,47 @@ object Drive {
   }
 
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("oracledump")) {
+      // dump the sequential OracleCrawler's page rows as SQL VALUES lists —
+      // source for the pinned crawl_basic/crawl_budget oracle entries in
+      // SparkEntry (independently re-asserted by CrawlPinSpec)
+      import graft.corpus.CorpusParams
+      import graft.engine.CorpusRobots
+      import graft.model.CrawlConfig
+      import graft.oracle.OracleCrawler
+      def esc(s: String) = "'" + s.replace("'", "''") + "'"
+      val basic = OracleCrawler.crawl(CorpusParams(hosts = 2, pagesPerHost = 40),
+        CrawlConfig(maxEpochs = 20), new CorpusRobots(CorpusParams(hosts = 2, pagesPerHost = 40)),
+        Seq("https://www.site0.com/"))
+      println("BASIC_ROWS " + basic.pages.map(p =>
+        s"(${esc(p.url)},${p.depth},${p.status},CAST(${p.signature} AS BIGINT))").mkString("|"))
+      val pb = CorpusParams(hosts = 2, pagesPerHost = 60)
+      val budget = OracleCrawler.crawl(pb,
+        CrawlConfig(budget = Map("*" -> 12, "en" -> 3), maxEpochs = 20),
+        new CorpusRobots(pb), Seq("https://www.site0.com/"))
+      println("BUDGET_ROWS " + budget.pages.map(p =>
+        s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
+      return
+    }
+    if (args.headOption.contains("hashdrive")) {
+      // new md5-hash expressions (MinHashSig/SimHash60/Hash60) under
+      // CODEGEN_ONLY over a parquet scan — fails loudly if doGenCode breaks
+      import graft.functions.{hashfns, TextFunctions}
+      import org.apache.spark.sql.functions._
+      val spark = session(4)
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .withColumn("sh", TextFunctions.wordShingles(col("text"), 3))
+        .filter(size(col("sh")) > 0)
+      val out = docs.select(col("doc_id"),
+        hashfns.minhash_sig(col("sh"), 16).as("sig"),
+        hashfns.simhash60(col("sh")).as("sim"),
+        hashfns.hash60(col("text")).as("h60"))
+      out.explain("formatted")
+      val rows = out.collect()
+      println(s"HASHDRIVE rows=${rows.length} firstSig=${rows.head.getSeq[Long](1).take(3)} " +
+        s"sim=${rows.head.getLong(2)} h60=${rows.head.getLong(3)}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

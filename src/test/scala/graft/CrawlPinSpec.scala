@@ -1,0 +1,38 @@
+package graft
+
+import graft.corpus.CorpusParams
+import graft.engine.CorpusRobots
+import graft.model.CrawlConfig
+import graft.oracle.OracleCrawler
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Keeps the pinned crawl_basic / crawl_budget DuckDB oracles honest: the
+  * VALUES constants in [[SparkEntry]] must equal a LIVE run of the
+  * sequential OracleCrawler on the same (corpus, config, seeds). Combined
+  * with CrawlDifferentialSpec (engine == OracleCrawler), this closes the
+  * chain engine == pins that the driver's DuckDB compare checks.
+  */
+class CrawlPinSpec extends AnyFunSuite {
+
+  private def esc(s: String) = "'" + s.replace("'", "''") + "'"
+
+  test("crawl_basic pins match a live OracleCrawler run") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val res = OracleCrawler.crawl(params, CrawlConfig(maxEpochs = 20),
+      new CorpusRobots(params), Seq("https://www.site0.com/"))
+    val live = res.pages.map(p =>
+      s"(${esc(p.url)},${p.depth},${p.status},CAST(${p.signature} AS BIGINT))")
+    assert(live == SparkEntry.crawlBasicRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+  }
+
+  test("crawl_budget pins match a live OracleCrawler run") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 60)
+    val res = OracleCrawler.crawl(params,
+      CrawlConfig(budget = Map("*" -> 12, "en" -> 3), maxEpochs = 20),
+      new CorpusRobots(params), Seq("https://www.site0.com/"))
+    val live = res.pages.map(p => s"(${esc(p.url)},${p.depth},${p.status})")
+    assert(live == SparkEntry.crawlBudgetRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+  }
+}

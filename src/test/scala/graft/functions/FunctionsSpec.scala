@@ -86,7 +86,8 @@ class FunctionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // same-cluster points must dominate brute-force neighbors
     assert(brute.forall { case (q, n) => n % 10 == q % 10 }, "brute-force neighbor crossed clusters")
-    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5, planes = 4)
+    val lsh = Similarity.lshTopK(emb, "vec_id", "embedding", queries, "qid", "qvec", 5,
+      tables = 4, planes = 4, dim = dim)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.6, s"LSH recall $recall too low")

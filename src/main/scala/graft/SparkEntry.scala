@@ -337,7 +337,7 @@ object SparkEntry {
     // sketch family: generated SQL replaying the md5-derived hashes exactly
     "d_minhash_pairs" -> O.minhashPairsSql(bands = 4, r = 4, threshold = 0.4),
     "d_simhash_pairs" -> O.simhashPairsSql(maxHamming = 3),
-    "d_ngram_jaccard" -> O.ngramJaccardSql(threshold = 0.2),
+    "d_ngram_jaccard" -> O.ngramJaccardSql(threshold = 0.5),
     "d_embedding_near_dups" -> O.embeddingNearDupsSql(tables = 4, planes = 4, dim = 64, threshold = 0.3),
     "s_ann_lsh" -> O.annLshSql(tables = 4, planes = 3, dim = 64, k = 5),
     "m_media_meta" -> O.mediaMetaSql(maxDim = 512),

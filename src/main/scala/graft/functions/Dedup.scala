@@ -129,18 +129,26 @@ object Dedup {
     // rare-first rank within each doc; keep the prefix. The 1e-9 slack keeps
     // ceil() exact where t*m is a true integer (double rounding would
     // otherwise shorten the prefix and break the recall-1.0 guarantee).
+    // freq is |distinct shingles| rows — broadcast, never shuffle the index.
     val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
-    val prefix = toks.join(freq, Seq("__s"))
+    val prefix = toks.join(broadcast(freq), Seq("__s"))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= col("__m") - ceil(lit(threshold) * col("__m") - lit(1e-9)) + 1)
-      .select(col("__s"), col("__id"), col("__m"))
-    // size filter is a necessary condition of J>=t (with -1 slack against
-    // double rounding): t*|a| <= |b| <= |a|/t
-    val cands = prefix.select(col("__s"), col("__id").as("id_a"), col("__m").as("__ma"))
-      .join(prefix.select(col("__s"), col("__id").as("id_b"), col("__m").as("__mb")), Seq("__s"))
+      .select(col("__s"), col("__id"), col("__m"), col("__r"))
+    // two exact prunes on top of the prefix match:
+    //  - size filter (necessary for J>=t, -1 slack against double rounding):
+    //    t*|a| <= |b| <= |a|/t
+    //  - PPJoin positional filter: overlap <= 1 + min(|a|-ra, |b|-rb), and
+    //    J>=t needs overlap >= ceil(t/(1+t)*(|a|+|b|)); a pair's FIRST common
+    //    prefix token carries the loosest such bound, so keeping pairs where
+    //    ANY matched token passes is exact
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("__ma") + col("__mb")) - lit(1e-9))
+    val cands = prefix.select(col("__s"), col("__id").as("id_a"), col("__m").as("__ma"), col("__r").as("__ra"))
+      .join(prefix.select(col("__s"), col("__id").as("id_b"), col("__m").as("__mb"), col("__r").as("__rb")), Seq("__s"))
       .filter(col("id_a") < col("id_b") &&
         col("__mb").cast("double") >= lit(threshold) * col("__ma") - 1 &&
-        col("__ma").cast("double") >= lit(threshold) * col("__mb") - 1)
+        col("__ma").cast("double") >= lit(threshold) * col("__mb") - 1 &&
+        lit(1) + least(col("__ma") - col("__ra"), col("__mb") - col("__rb")) >= alpha)
       .select(col("id_a"), col("id_b")).distinct()
     cands
       .join(docs.select(col("__id").as("id_a"), col("__sh").as("__sh_a")), Seq("id_a"))

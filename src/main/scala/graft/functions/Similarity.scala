@@ -73,19 +73,11 @@ object Similarity {
   /** One bucket id per table: p sign bits of integer-quantized projections.
     * `floor(x·1024)` is exact fixed-point (×1024 is an exponent shift), the
     * weighted sum is pure integer arithmetic — order-independent and
-    * engine-independent.
+    * engine-independent. One codegen pass over the vector
+    * ([[VecHash.hyperplaneBuckets]]).
     */
-  def bucketIds(vec: Column, tables: Int, planes: Int, dim: Int): Column = {
-    array((0 until tables).map { t =>
-      (0 until planes).map { p =>
-        val ws = typedlit((0 until dim).map(j => hyperplaneWeight(t, p, j)))
-        val proj = aggregate(
-          zip_with(vec, ws, (x, w) => floor(x.cast("double") * 1024).cast("long") * w),
-          lit(0L), (acc, v) => acc + v)
-        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
-      }.reduce((a: Column, b: Column) => a.bitwiseOR(b))
-    }: _*)
-  }
+  def bucketIds(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    hashfns.hyperplane_buckets(vec, tables, planes, dim)
 
   /** LSH-bucketed approximate top-k: score only candidates sharing ≥1 of
     * the query's L table buckets. Returns the same shape as brute force;

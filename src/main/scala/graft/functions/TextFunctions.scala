@@ -76,14 +76,9 @@ object TextFunctions {
   def fingerprint(text: Column): Column = fnv64(lower(text))
 
   /** Word shingles (n-grams of tokens) — the dedup unit for MinHash /
-    * Jaccard. Built-ins only: split + transform over index range.
+    * Jaccard. One-pass codegen expression: the equivalent built-in chain
+    * (split + transform + slice) inlines the tokenization into every lambda
+    * element and goes O(words²) per document (see [[VecHash.wordShingles]]).
     */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = split(lower(text), " ")
-    // shingle i = tokens[i..i+n-1] joined; sequence size = numToks - n + 1
-    array_distinct(filter(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => when(i + n <= size(toks), concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      x => x.isNotNull))
-  }
+  def wordShingles(text: Column, n: Int): Column = hashfns.word_shingles(text, n)
 }

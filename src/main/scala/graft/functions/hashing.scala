@@ -120,6 +120,113 @@ object TextHash {
   }
 }
 
+/** One-pass helpers for shingling and vector bucketing (codegen targets). */
+object VecHash {
+
+  /** Distinct word n-gram shingles in ONE pass.
+    *
+    * Semantics identical to the built-in chain
+    * `array_distinct(transform(sequence(...), i -> concat_ws(' ', slice(split(lower(text),' '),...))))`
+    * — but that chain INLINES the `split(lower(text))` sub-expression into
+    * every lambda element, recomputing the full tokenization once per
+    * shingle index (O(words²) per document; measured 8 s just to explode
+    * 260k shingles at sf0.1). DuckDB parity unchanged:
+    * `list_distinct([array_to_string(w[i:i+n-1],' ') for i in range(1, len(w)-n+2)])`
+    * over `w = string_split(lower(text),' ')`.
+    */
+  def wordShingles(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.toLowerCase(java.util.Locale.ROOT).split(" ", -1)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](toks.length * 2)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = UTF8String.fromString(it.next()); idx += 1 }
+    new GenericArrayData(out)
+  }
+
+  private val weightCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Long]]()
+
+  /** Flattened hyperplane weight table [t][p][j] (md5-derived, see
+    * [[Similarity.hyperplaneWeight]]), memoized per (tables, planes, dim).
+    */
+  def weights(tables: Int, planes: Int, dim: Int): Array[Long] =
+    weightCache.computeIfAbsent((tables, planes, dim), { key =>
+      val (t, p, d) = key
+      val w = new Array[Long](t * p * d)
+      var i = 0
+      for (ti <- 0 until t; pi <- 0 until p; ji <- 0 until d) {
+        w(i) = Similarity.hyperplaneWeight(ti, pi, ji); i += 1
+      }
+      w
+    })
+
+  /** One bucket id per table in ONE pass over the vector: p sign bits of
+    * integer-quantized projections (floor(x·1024)·w, exact fixed-point).
+    */
+  def hyperplaneBuckets(vec: ArrayData, tables: Int, planes: Int, dim: Int): ArrayData = {
+    val w = weights(tables, planes, dim)
+    val d = math.min(dim, vec.numElements())
+    val q = new Array[Long](d)
+    var j = 0
+    while (j < d) { q(j) = math.floor(vec.getFloat(j).toDouble * 1024).toLong; j += 1 }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        val base = (t * planes + p) * dim
+        var proj = 0L
+        var jj = 0
+        while (jj < d) { proj += q(jj) * w(base + jj); jj += 1 }
+        if (proj >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text, n)` → array<string>: one-pass distinct n-grams. */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(s: Any): Any =
+    VecHash.wordShingles(s.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecHash.wordShingles($c, $n)")
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** `hyperplane_buckets(vec, tables, planes, dim)` → array<long>. */
+case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def nullSafeEval(v: Any): Any =
+    VecHash.hyperplaneBuckets(v.asInstanceOf[ArrayData], tables, planes, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VecHash.hyperplaneBuckets($c, $tables, $planes, $dim)")
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
+}
+
 /** `minhash_sig(shingles, k)` → array<long>: one-pass k-MinHash signature. */
 case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -160,4 +267,7 @@ object hashfns {
   def minhash_sig(shingles: Column, k: Int): Column = column(MinHashSig(e(shingles), k))
   def simhash60(shingles: Column): Column = column(SimHash60(e(shingles)))
   def hash60(s: Column): Column = column(Hash60(e(s)))
+  def word_shingles(text: Column, n: Int): Column = column(WordShingles(e(text), n))
+  def hyperplane_buckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    column(HyperplaneBuckets(e(vec), tables, planes, dim))
 }

@@ -206,10 +206,14 @@ object Queries {
 
   def dNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     // EXACT threshold similarity join (prefix-filtered inverted index,
-    // recall 1.0) — every pair with 3-gram Jaccard >= 0.2, no blocking
-    // approximation, so the DuckDB oracle is a brute-force cross join
+    // recall 1.0) — every pair with 3-gram Jaccard >= 0.5, no blocking
+    // approximation, so the DuckDB oracle is a brute-force cross join.
+    // 0.5 is the realistic near-dup bar AND keeps the prefix filter strong
+    // (prefix length (1-t)·|S|+1; at 0.2 the filter would index 80% of
+    // every document — low thresholds are inherently quadratic-ish for ANY
+    // exact algorithm)
     Dedup.jaccardPairs(t(spark, dir, "documents"), "doc_id", "text",
-      shingleN = 3, threshold = 0.2)
+      shingleN = 3, threshold = 0.5)
 
   def dEmbeddingNearDups(spark: SparkSession, dir: String): DataFrame =
     // testdata embeddings are loosely clustered (same-label max cosine ≈0.47)

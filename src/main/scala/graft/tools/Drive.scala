@@ -62,6 +62,80 @@ object Drive {
         s"sim=${rows.head.getLong(2)} h60=${rows.head.getLong(3)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("dedupprof")) {
+      // per-stage profile of the sketch dedup queries at sf0.1
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.functions._
+      val spark = session(32)
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      def timed[T](l: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"DEDUPPROF $l ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      timed("warmup")(docs.count())
+      val sh = docs.select(col("doc_id"), TextFunctions.wordShingles(col("text"), 3).as("sh"))
+      timed("shingles_only")(sh.count())
+      timed("shingle_rows")(println("  total shingles = " +
+        sh.select(explode(col("sh"))).count()))
+      timed("minhash_full")(println("  minhash pairs = " +
+        graft.queries.Queries.dMinhashPairs(spark, sf).count()))
+      timed("simhash_full")(println("  simhash pairs = " +
+        graft.queries.Queries.dSimhashPairs(spark, sf).count()))
+      timed("ngram_full")(println("  ngram pairs = " +
+        graft.queries.Queries.dNgramJaccard(spark, sf).count()))
+      timed("embed_full")(println("  embed pairs = " +
+        graft.queries.Queries.dEmbeddingNearDups(spark, sf).count()))
+      // candidate volumes
+      val base = sh.filter(size(col("sh")) > 0)
+        .select(col("doc_id").as("__id"), col("sh").as("__sh"))
+      val banded = base.select(col("__id"),
+        graft.functions.Dedup.minhashSignature(col("__sh"), 16).as("__sig"))
+        .select(col("__id"), posexplode(array((0 until 4).map(b =>
+          slice(col("__sig"), b * 4 + 1, 4)): _*)).as(Seq("__band", "__bkey")))
+      timed("minhash_cands")(println("  minhash candidate pairs = " +
+        banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"))
+          .join(banded.select(col("__band"), col("__bkey"), col("__id").as("id_b")),
+            Seq("__band", "__bkey"))
+          .filter(col("id_a") < col("id_b")).select("id_a", "id_b").distinct().count()))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("ngramprof")) {
+      import graft.functions.TextFunctions
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val spark = session(32)
+      val sf = args.lift(1).getOrElse("/root/testdata/sf0.1")
+      val threshold = 0.2
+      def timed[T](l: String)(f: => T): T = {
+        val t0 = System.nanoTime(); val r = f
+        println(f"NGRAMPROF $l ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
+      }
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").as("__id"), TextFunctions.wordShingles(col("text"), 3).as("__sh"))
+        .filter(size(col("__sh")) > 0)
+      timed("docs")(docs.count())
+      val toks = docs.select(col("__id"), size(col("__sh")).as("__m"), explode(col("__sh")).as("__s"))
+      val freq = toks.groupBy(col("__s")).agg(count(lit(1)).as("__f"))
+      timed("freq")(println("  distinct shingles = " + freq.count()))
+      val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
+      val prefix = toks.join(freq, Seq("__s"))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= col("__m") - ceil(lit(threshold) * col("__m") - lit(1e-9)) + 1)
+        .select(col("__s"), col("__id"), col("__m"))
+      timed("prefix")(println("  prefix rows = " + prefix.count()))
+      val cands = prefix.select(col("__s"), col("__id").as("id_a"), col("__m").as("__ma"))
+        .join(prefix.select(col("__s"), col("__id").as("id_b"), col("__m").as("__mb")), Seq("__s"))
+        .filter(col("id_a") < col("id_b") &&
+          col("__mb").cast("double") >= lit(threshold) * col("__ma") - 1 &&
+          col("__ma").cast("double") >= lit(threshold) * col("__mb") - 1)
+        .select(col("id_a"), col("id_b"))
+      timed("cand_raw")(println("  candidate rows pre-distinct = " + cands.count()))
+      timed("cand_distinct")(println("  candidate pairs = " + cands.distinct().count()))
+      timed("full_cold")(println("  pairs = " + graft.queries.Queries.dNgramJaccard(spark, sf).count()))
+      timed("full_warm")(println("  pairs = " + graft.queries.Queries.dNgramJaccard(spark, sf).count()))
+      spark.stop(); return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

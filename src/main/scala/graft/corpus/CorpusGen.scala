@@ -29,6 +29,8 @@ final case class CorpusParams(
     dupContentEvery: Int = 0, // every k-th page shares content with its predecessor (0=off)
     redirectEvery: Int = 0, // every k-th page is a 301 to the next page (0=off)
     errorEvery: Int = 0, // every k-th page is a 404/500 (0=off)
+    rateLimitEvery: Int = 0, // every k-th page is a 429 with Retry-After (0=off)
+    retryAfterMs: Long = 3000L, // Retry-After carried by synthetic 429s
     externalLinksTo: Int = 1, // link a few pages to host (i+n)%hosts
     textWords: Int = 12 // base words per text span (bench uses realistic ~150)
 ) {
@@ -198,7 +200,21 @@ object CorpusGen {
       (301, s"${params.scheme}://$host${pagePath(p + 1)}")
     } else if (params.errorEvery > 1 && p > 0 && p % params.errorEvery == 0) {
       (if (p % (2L * params.errorEvery) == 0) 500 else 404, null)
+    } else if (params.rateLimitEvery > 1 && p > 0 && p % params.rateLimitEvery == 0) {
+      (429, null) // rate-limited; Retry-After via retryAfterMsFor
     } else (200, null)
+  }
+
+  /** Retry-After carried by the corpus's synthetic 429s (deterministic). */
+  def retryAfterMsFor(params: CorpusParams): Long = params.retryAfterMs
+
+  /** Deterministic per-host response latency, ms — the auto-throttle's
+    * input signal. Host idx spreads latencies over [20, 100).
+    */
+  def latencyMsFor(params: CorpusParams, host: String): Long = {
+    val r = host.replaceAll("^(www|sub)\\.site", "").replaceAll("\\.com$", "")
+    val idx = if (r.nonEmpty && r.forall(_.isDigit)) r.toInt else 0
+    20L + (mix(params.seed ^ (idx * 31L)) & 0x7fffffffL) % 80L
   }
 
   /** Sitemap document for a host (`/sitemap.xml`): span-encoded `<urlset>`

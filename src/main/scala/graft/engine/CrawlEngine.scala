@@ -32,7 +32,40 @@ final case class ParsedPage(
     discovery_seq: Long, priority: Int, attempt: Int, epoch: Long,
     status: Int, signature: Long,
     title: String, description: String, og_image: String,
-    spans: Array[Span], links: Array[String])
+    spans: Array[Span], links: Array[String],
+    retry_after_ms: Long, latency_ms: Long)
+
+/** C7 — pluggable retry strategy (reference `retry_strategy.rs:24-70`: a
+  * user hook deciding per attempt whether/how to retry; the fetch-profile
+  * switching half of the directive lives behind the Fetcher seam). Column
+  * methods run on the hot path (codegen'd); the scalar methods are the
+  * sequential-oracle mirror and MUST stay consistent with them.
+  */
+trait RetryPolicy extends Serializable {
+  def maxAttempts: Int
+  def isRetryable(status: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  def backoffEpochs(attempt: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+  def isRetryableStatus(status: Int): Boolean
+  def backoffEpochsOf(attempt: Int): Long
+}
+
+/** The reference's built-in ladder: retryable 5xx/429/408, exponential
+  * backoff capped at 60 (`backoff_delay(attempt, 1s, 60s)`
+  * `website.rs:8388-8392`).
+  */
+final class DefaultRetryPolicy(limit: Int) extends RetryPolicy {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions._
+  override def maxAttempts: Int = limit
+  override def isRetryable(s: Column): Column =
+    (s >= 500 && s =!= 501 && s =!= 505 && s =!= 511) || s === 429 || s === 408
+  override def backoffEpochs(attempt: Column): Column =
+    least(pow(lit(2.0), attempt + 1), lit(60.0)).cast(org.apache.spark.sql.types.LongType)
+  override def isRetryableStatus(s: Int): Boolean =
+    (s >= 500 && s != 501 && s != 505 && s != 511) || s == 429 || s == 408
+  override def backoffEpochsOf(attempt: Int): Long =
+    math.min(math.pow(2.0, attempt + 1).toLong, 60L)
+}
 
 final case class CrawlResult(
     pages: DataFrame,
@@ -69,7 +102,15 @@ class CrawlEngine(
       * `on_should_crawl_callback` `website.rs:1255`, applied 8646-8654).
       * The page is still recorded; its links are not.
       */
-    onShouldCrawl: Option[ParsedPage => Boolean] = None) {
+    onShouldCrawl: Option[ParsedPage => Boolean] = None,
+    /** C7 — pluggable retry strategy; None = the reference's built-in
+      * ladder driven by `config.retryLimit`.
+      */
+    retryPolicy: Option[RetryPolicy] = None,
+    /** Driver-side hook invoked after each completed epoch (monitoring /
+      * deterministic mid-crawl control in tests).
+      */
+    onEpoch: Option[Long => Unit] = None) {
   // deliberately NOT Serializable: closures must capture locals, never
   // `this` (which holds the SparkSession) — accidental capture fails fast.
 
@@ -107,26 +148,31 @@ class CrawlEngine(
   // Gate terms (SURVEY §2.B)
   // ---------------------------------------------------------------------
 
-  /** B2/B3 — whitelist/blacklist, non-regex semantics: EXACT string match
-    * (`lib.rs:433-449` — `Vec<CompactString>::contains`).
+  /** B2/B3 — whitelist/blacklist as codegen'd column predicates (round 1
+    * used a typed lambda that deserialized every row). Non-regex semantics:
+    * EXACT string match (`lib.rs:433-449` — `Vec<CompactString>::contains`);
+    * `listsAreRegex` switches to the reference's `regex` feature build
+    * (RegexSet::is_match — unanchored search, `lib.rs:433-440`).
     */
   private def listsGate(df: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
-    val wl = config.whitelist.toSet
-    val bl = config.blacklist.toSet
-    if (wl.isEmpty && bl.isEmpty) df
-    else df.filter { e: FrontierEntry =>
-      val wOk = wl.isEmpty || wl.contains(e.url)
-      val bOk = bl.isEmpty || !bl.contains(e.url)
-      wOk && bOk
-    }
+    val wl = config.whitelist
+    val bl = config.blacklist
+    if (wl.isEmpty && bl.isEmpty) return df
+    def matches(patterns: Seq[String]): org.apache.spark.sql.Column =
+      if (config.listsAreRegex) patterns.map(p => col("url").rlike(p)).reduce(_ || _)
+      else col("url").isInCollection(patterns)
+    var cond: org.apache.spark.sql.Column = lit(true)
+    if (wl.nonEmpty) cond = cond && matches(wl)
+    if (bl.nonEmpty) cond = cond && !matches(bl)
+    df.filter(cond)
   }
 
-  /** B4 — robots gate (`is_allowed_robots` `website.rs:1992-2006`). */
+  /** B4 — robots gate as a codegen expression
+    * (`is_allowed_robots` `website.rs:1992-2006`).
+    */
   private def robotsGate(df: Dataset[FrontierEntry]): Dataset[FrontierEntry] = {
     if (!config.respectRobotsTxt) return df
-    val prov = robots
-    val ua = config.userAgent
-    df.filter { e: FrontierEntry => prov.policyFor(e.host).canFetch(ua, e.url) }
+    df.filter(enginefns.robots_can_fetch(col("host"), col("url"), robots, config.userAgent))
   }
 
   /** B6 — depth gate: URL path depth vs depth_distance
@@ -148,6 +194,36 @@ class CrawlEngine(
     */
   @volatile private var shutdownRequested = false
   def requestShutdown(): Unit = { shutdownRequested = true }
+
+  /** D9 — pause/resume (reference handle value 1, `website.rs:1839-1846`):
+    * the loop spins between epochs until resumed; logical time is frozen.
+    */
+  @volatile private var pauseRequested = false
+  def pause(): Unit = { pauseRequested = true }
+  def unpause(): Unit = { pauseRequested = false }
+  def isPaused: Boolean = pauseRequested
+
+  /** A-side mid-crawl URL injection — the reference's `channel_queue` +
+    * `dequeue` (`website.rs:1324`, `7528-7562`): queued URLs join the next
+    * epoch's frontier and pass the full gate (seen/lists/robots/depth).
+    * Unlike the reference's `is_allowed_budgetless` dequeue check, budget
+    * admission applies normally (one consistent budget ledger).
+    */
+  private val inbox = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def enqueue(url: String): Unit = { if (url != null) inbox.add(url) }
+
+  private val retry: RetryPolicy =
+    retryPolicy.getOrElse(new DefaultRetryPolicy(config.retryLimit))
+
+  /** Access-ordered LRU map capped at 100k hosts (the reference caps its
+    * per-domain limiter maps the same way, `rate_limiter.rs` MAX_ENTRIES /
+    * `auto_throttle.rs` MAX_ENTRIES).
+    */
+  private def lruMap[V](): java.util.LinkedHashMap[String, V] =
+    new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
+        size() > 100000
+    }
 
   /** A8 — `scrape()` = crawl + materialized pages (`website.rs:7326-7378`). */
   def scrape(seedUrls: Seq[String]): Array[graft.model.PageRow] = {
@@ -206,56 +282,121 @@ class CrawlEngine(
 
     // --- URL-seen: bloom (fast-negative) + exact table (authoritative).
     // One compact bloom per epoch delta (sized to the delta), broadcast as
-    // a group — never one giant filter (SURVEY §7 risk note). ---
-    var blooms = Vector.empty[BloomFilter]
+    // a group — never one giant filter (SURVEY §7 risk note). Held as
+    // serialized bytes; executors deserialize lazily via BloomGroup. ---
+    var blooms = Vector.empty[Array[Byte]]
     // State tables accumulate as per-epoch DELTAS (each localCheckpointed
     // once) — unioning cached deltas is O(1) per epoch, where re-checkpointing
     // a growing table every epoch would be O(total) per epoch (quadratic).
     var seenDeltas = Vector.empty[DataFrame]
     var sigDeltas = Vector.empty[DataFrame]
-    var pageDeltas = Vector.empty[DataFrame]
+    // persisted admitted sets backing the lazy seen deltas (released at
+    // compaction)
+    var admittedCaches = Vector.empty[Dataset[FrontierEntry]]
+    // per-epoch page-delta sink (A7): parquet under a crawl-scoped temp dir
+    // (a real deployment points this at the output table's location);
+    // deleted on JVM exit
+    val pagesSink = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-pages-").toAbsolutePath
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      }))
+      dir.toString
+    }
     val emptySeen = spark.emptyDataset[(String, String)].toDF("url_lower", "url")
     val emptySigs = spark.emptyDataset[Long].toDF("sig")
     val emptyPages = spark.emptyDataset[PageRow].toDF()
     def seen: DataFrame = if (seenDeltas.isEmpty) emptySeen else seenDeltas.reduce(_ unionByName _)
     def signatures: DataFrame = if (sigDeltas.isEmpty) emptySigs else sigDeltas.reduce(_ unionByName _)
-    def pages: DataFrame = if (pageDeltas.isEmpty) emptyPages else pageDeltas.reduce(_ unionByName _)
+    // The pages view is ONE relation over the sink directory (never a
+    // per-epoch union: a thousand-epoch crawl would otherwise build a
+    // thousand-way union plan whose canonicalization alone OOMs the driver)
+    var pagesWritten = false
+    var restoredPages: Option[DataFrame] = None // resume-injected prior pages
+    val pageCols = Seq(col("url"), col("final_url"), col("host"), col("depth"),
+      col("discovery_seq"), col("epoch"), col("status"), col("signature"),
+      col("title"), col("description"), col("og_image"), col("spans"))
+    def pages: DataFrame = {
+      val retriedCol = retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts
+      val fresh =
+        if (!pagesWritten) emptyPages
+        else spark.read.option("recursiveFileLookup", "true").parquet(pagesSink)
+          .filter(!retriedCol).select(pageCols: _*)
+      restoredPages.map(_.unionByName(fresh)).getOrElse(fresh)
+    }
     var seenCount = 0L
     var hostTokens = spark.emptyDataset[(String, Long)].toDF("host", "tokens_milli")
     var seqCounter = 0L
     var epoch = 0L
     val metrics = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
 
-    def mergeBloom(urls: DataFrame, deltaCount: Long): Unit = {
-      // per-partition blooms (identically sized for this delta) merged on
-      // driver into ONE epoch bloom appended to the filter group
-      if (deltaCount <= 0) return
-      val size = math.max(1024L, deltaCount)
-      val parts = urls.select(lower(col("url")).as("u")).as[String]
-        .mapPartitions { it =>
-          if (it.isEmpty) Iterator.empty
-          else {
-            val b = BloomFilter.create(size, 0.01)
-            it.foreach(b.putString)
-            val bos = new java.io.ByteArrayOutputStream()
-            b.writeTo(bos)
-            Iterator.single(bos.toByteArray)
-          }
-        }.collect()
-      if (parts.nonEmpty) {
-        val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(parts.head))
-        parts.tail.foreach { bytes =>
-          merged.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
-        }
-        blooms :+= merged
+    def mergeBloomParts(parts: Array[Array[Byte]]): Unit = {
+      if (parts.isEmpty) return
+      val merged = BloomFilter.readFrom(new java.io.ByteArrayInputStream(parts.head))
+      parts.tail.foreach { bytes =>
+        merged.mergeInPlace(BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
       }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      blooms :+= bos.toByteArray
+    }
+
+    // Fused admit materialization: ONE job populates the persist cache,
+    // counts the delta, and builds the per-partition blooms (round 1 spent
+    // three driver round-trips here). Bloom sizing uses the candidate-count
+    // upper bound (>= admitted count) so per-partition filters stay
+    // merge-compatible without a pre-count. Keys are UTF8String lowercase —
+    // bit-identical to the Spark `lower()` the probe side applies.
+    def admitCountAndBloom(admitted: Dataset[FrontierEntry], expectedUpper: Long): Long = {
+      val size = math.max(1024L, expectedUpper)
+      val parts = admitted.mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val b = BloomFilter.create(size, 0.01)
+          var n = 0L
+          it.foreach { e =>
+            b.putBinary(org.apache.spark.unsafe.types.UTF8String.fromString(e.url).toLowerCase.getBytes)
+            n += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos)
+          Iterator.single((n, bos.toByteArray))
+        }
+      }.collect()
+      mergeBloomParts(parts.map(_._2))
+      parts.map(_._1).sum
+    }
+
+    // resume path: rebuild one bloom from the restored seen table
+    def bloomFromSeen(urlLower: Dataset[String], expected: Long): Unit = {
+      if (expected <= 0) return
+      val size = math.max(1024L, expected)
+      val parts = urlLower.mapPartitions { it =>
+        if (it.isEmpty) Iterator.empty
+        else {
+          val b = BloomFilter.create(size, 0.01)
+          it.foreach(u => b.putBinary(org.apache.spark.unsafe.types.UTF8String.fromString(u).getBytes))
+          val bos = new java.io.ByteArrayOutputStream()
+          b.writeTo(bos)
+          Iterator.single(bos.toByteArray)
+        }
+      }.collect()
+      mergeBloomParts(parts)
     }
 
     // --- seed establishment (`_crawl_establish` `website.rs:4104-4360`):
-    // seeds gated by is_allowed_default only (lists + robots, no budget) ---
+    // seeds gated by is_allowed_default only (lists + robots, no budget).
+    // Case-insensitive dedup keep-first establishes the frontier invariant
+    // "unique by lower(url)" that every later epoch maintains (B8's batch
+    // dedup is thereby structural — no per-epoch window shuffle needed). ---
+    val seedSeen = scala.collection.mutable.Set.empty[String]
     val canonSeeds = seedUrls.flatMap { s =>
       val c = UrlOps.convertAbsPath(s, s); if (c == null) None else Some(c)
-    }.distinct
+    }.filter(u => seedSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
     var frontier: DataFrame = spark.createDataset(canonSeeds.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
     }).toDF()
@@ -272,11 +413,11 @@ class CrawlEngine(
         frontier = ck.readTable(e, "frontier").localCheckpoint(true)
         seenDeltas = Vector(ck.readTable(e, "seen").localCheckpoint(true))
         sigDeltas = Vector(ck.readTable(e, "signatures").localCheckpoint(true))
-        pageDeltas = Vector(ck.readTable(e, "pages").localCheckpoint(true))
+        restoredPages = Some(ck.readTable(e, "pages").localCheckpoint(true))
         hostTokens = ck.readTable(e, "host_tokens").localCheckpoint(true)
         seenCount = seenDeltas.head.count()
         blooms = Vector.empty
-        mergeBloom(seenDeltas.head.select(col("url")), seenCount)
+        bloomFromSeen(seenDeltas.head.select(col("url_lower")).as[String], seenCount)
         val m = ck.readManifest(e)
         def longField(k: String): Option[Long] =
           ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
@@ -298,14 +439,67 @@ class CrawlEngine(
     }
 
     // --- epoch loop ---
-    // fast path: with politeness and retries off, nothing ever carries a
-    // not_before hold — the ready set IS the frontier and its count is known
-    // from the previous epoch (saves two driver jobs per epoch)
-    val holdsPossible = config.delayMs > 0 || config.respectRobotsTxt ||
-      config.maxPerHostPerEpoch != Int.MaxValue || config.retryLimit > 0
+    // fast paths, all statically known from config:
+    //  - holdsPossible: politeness/retries may set not_before holds — only
+    //    then does the ready split + count need a job
+    //  - carryover: any stream besides new links can re-enter the frontier
+    //    (holds, politeness deferrals, budget leftovers, retries) — only
+    //    then does the end-of-epoch union need a dedup window; otherwise the
+    //    next frontier IS the (already unique) new-link set
+    val politenessPossible = config.delayMs > 0 || config.respectRobotsTxt ||
+      config.maxPerHostPerEpoch != Int.MaxValue
+    val holdsPossible = politenessPossible || retry.maxAttempts > 0
+    val carryover = holdsPossible || config.wildCardBudgeting || (config.budget - "*").nonEmpty
+    // reactive per-host politeness state (LRU-capped like the reference's
+    // DashMap limiters): 429/Retry-After delay overrides + latency EMAs
+    val throttleOverrideMs = lruMap[java.lang.Long]()
+    val latencyEma = lruMap[java.lang.Double]()
+    def overridesDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val hosts = (throttleOverrideMs.keySet.asScala ++ latencyEma.keySet.asScala).toSeq
+      val rows = hosts.map { h =>
+        val thr = Option(throttleOverrideMs.get(h)).map(_.longValue).getOrElse(0L)
+        val emaDelay =
+          if (!config.autoThrottle) 0L
+          else Option(latencyEma.get(h)).map { e =>
+            math.min(config.autoThrottleMaxDelayMs,
+              math.max(config.autoThrottleMinDelayMs,
+                (e.doubleValue / config.autoThrottleTargetConcurrency).toLong))
+          }.getOrElse(0L)
+        (h, math.max(thr, emaDelay))
+      }.filter(_._2 > 0L)
+      if (rows.isEmpty) spark.emptyDataset[(String, Long)].toDF("host", "override_ms")
+      else spark.createDataset(rows).toDF("host", "override_ms")
+    }
     var frontierCountPrev = frontier.count()
     var done = frontierCountPrev == 0
+    var epochCache: Option[DataFrame] = None // politeness rank cache, per epoch
     while (!done) {
+      // D9 pause (reference `handle_process` value 1, `website.rs:1839-1846`):
+      // wall-clock wait between epochs; logical time frozen
+      while (pauseRequested && !shutdownRequested && System.nanoTime() < deadline)
+        Thread.sleep(20)
+
+      // mid-crawl URL injection: drain the inbox into the frontier
+      // (reference `dequeue`, `website.rs:7528-7562`)
+      if (!inbox.isEmpty) {
+        val drained = Iterator.continually(inbox.poll()).takeWhile(_ != null)
+          .flatMap(u => Option(UrlOps.convertAbsPath(u, u))).toVector.distinct
+        if (drained.nonEmpty) {
+          val injected = spark.createDataset(drained.zipWithIndex.map { case (u, i) =>
+            FrontierEntry(u, UrlOps.host(u), 0, seqCounter + i, UrlOps.scoreUrl(u, 0), 0, 0L)
+          }).toDF()
+          seqCounter += drained.length
+          // restore the frontier's unique-by-lower(url) invariant
+          val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
+          frontier = frontier.unionByName(injected)
+            .withColumn("__rn", row_number().over(fW))
+            .filter(col("__rn") === 1).drop("__rn")
+            .localCheckpoint(true)
+          frontierCountPrev = frontier.count()
+        }
+      }
+
       // 0. candidates whose politeness/retry holdoff has passed
       val ready = if (holdsPossible) frontier.filter(col("not_before") <= lit(epoch)) else frontier
       val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
@@ -316,52 +510,57 @@ class CrawlEngine(
       if (candCount == 0) {
         // nothing ready this tick — advance logical time only
         epoch += 1
+        onEpoch.foreach(f => f(epoch - 1))
         if (frontier.isEmpty || epoch >= config.maxEpochs ||
           shutdownRequested || System.nanoTime() > deadline) done = true
       } else {
-        // 1. B1 visited: bloom fast-negative, broadcast semi-join for the rest;
-        //    the big `seen` side is scanned but never shuffled.
+        // 1. B1 visited: bloom fast-negative (codegen expression over the
+        //    broadcast filter group — no UDF on the hot path), broadcast
+        //    semi-join for the rest; the big `seen` side is scanned but
+        //    never shuffled.
         val withLower = ready.withColumn("url_lower", lower(col("url")))
-        val bloomB = spark.sparkContext.broadcast(blooms)
-        val mightContain = udf((u: String) => bloomB.value.exists(_.mightContainString(u)))
-        val definitelyNew = withLower.filter(!mightContain(col("url_lower")))
-        val maybeSeen = withLower.filter(mightContain(col("url_lower")))
+        val bloomGroup = new BloomGroup(spark.sparkContext.broadcast(blooms))
+        val mightContain = enginefns.bloom_might_contain(col("url_lower"), bloomGroup)
+        val definitelyNew = withLower.filter(!mightContain)
+        val maybeSeen = withLower.filter(mightContain)
         val hits = seen.join(broadcast(maybeSeen.select(col("url_lower")).distinct()), Seq("url_lower"), "left_semi")
         val unseen = definitelyNew.unionByName(
           maybeSeen.join(broadcast(hits), Seq("url_lower"), "left_anti"))
 
-        // 2. B8 batch dedup (case-insensitive, keep canonical-min; the
-        //    frontier HashSet semantics `website.rs:7810`)
-        val dedupW = Window.partitionBy(col("url_lower"))
-          .orderBy(canonicalOrder: _*)
-        val deduped = unseen
-          .withColumn("__rn", row_number().over(dedupW))
-          .filter(col("__rn") === 1).drop("__rn")
+        // 2. B8 batch dedup (case-insensitive keep canonical-min, the
+        //    frontier HashSet semantics `website.rs:7810`) is STRUCTURAL:
+        //    the frontier is unique by lower(url) by construction (seeds
+        //    ci-deduped, link agg keyed by lower(url), carryover union
+        //    window), so the per-epoch dedup window round 1 ran here is a
+        //    no-op shuffle — removed.
 
         // 3. stateless gates: lists, robots, depth
         val gated0 = depthGate(
-          robotsGate(listsGate(deduped.drop("url_lower").as[FrontierEntry])), depthDistance).toDF()
+          robotsGate(listsGate(unseen.drop("url_lower").as[FrontierEntry])), depthDistance).toDF()
 
         // 4. B9 politeness FIRST: per-host token-bucket quota, highest
         //    priority first (D5 top-k per host); non-admitted stay in the
         //    frontier. (The reference sleeps AFTER gating; a distributed
         //    deferral must re-gate, so politeness runs before the stateful
         //    budget to avoid double-charging deferred candidates.)
-        val politenessOn = config.delayMs > 0 || config.respectRobotsTxt ||
-          config.maxPerHostPerEpoch != Int.MaxValue
+        val politenessOn = politenessPossible
         var polAdmitted = gated0
         var deferred = spark.emptyDataset[FrontierEntry].toDF()
         if (politenessOn) {
-          val prov = robots
-          val ua = config.userAgent
-          val cfgDelay = config.delayMs
-          val respectRobots = config.respectRobotsTxt
-          val delayUdf = udf((host: String) => {
-            val rd = if (respectRobots) prov.crawlDelayMs(host, ua) else 0L
-            math.max(cfgDelay, rd)
-          })
+          // per-host effective delay (all codegen'd, no UDF):
+          //   static config delay
+          //   ∨ robots Crawl-delay ∨ Request-rate (expression; B9 + missing #4)
+          //   ∨ reactive override (429 Retry-After throttle ∨ auto-throttle
+          //     EMA; reference rate_limiter.rs:121-153 + auto_throttle.rs)
+          var delayCol: org.apache.spark.sql.Column = lit(config.delayMs)
+          if (config.respectRobotsTxt)
+            delayCol = greatest(delayCol,
+              enginefns.robots_delay_ms(col("host"), robots, config.userAgent))
           val tick = config.tickMs
-          val withDelay = polAdmitted.withColumn("__delay", delayUdf(col("host")))
+          val withDelay = polAdmitted
+            .join(broadcast(overridesDf()), Seq("host"), "left")
+            .withColumn("__delay", greatest(delayCol, coalesce(col("override_ms"), lit(0L))))
+            .drop("override_ms")
             .join(broadcast(hostTokens), Seq("host"), "left")
           val avail = withDelay.withColumn("__permits",
               when(col("__delay") === 0, lit(Long.MaxValue / 4))
@@ -373,7 +572,12 @@ class CrawlEngine(
               least(col("__avail") / 1000L, lit(config.maxPerHostPerEpoch.toLong)))
           val hw = Window.partitionBy(col("host"))
             .orderBy(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
+          // cache the ranked gate+politeness output: hostTokens, admitted,
+          // and deferred all derive from it — without the cache the whole
+          // gate DAG (bloom + seen joins + windows) recomputes 3-4x/epoch
           val rankedH = avail.withColumn("__hrn", row_number().over(hw))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          epochCache = Some(rankedH)
           val adm = rankedH.filter(col("__hrn") <= col("__quota"))
           deferred = rankedH.filter(col("__hrn") > col("__quota"))
             .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
@@ -421,14 +625,7 @@ class CrawlEngine(
             // per-key window in accumulated-segment order; outer keys consume
             // before inner ones reject (walk order `website.rs:2085-2115`)
             val keys = pathBudget.keys.toSeq.sortBy(_.length)
-            val segUdf = udf((url: String) => {
-              val segs = UrlOps.budgetSegments(url)
-              val acc = new scala.collection.mutable.ArrayBuffer[String](segs.length)
-              val sb = new java.lang.StringBuilder()
-              segs.foreach { s => sb.append(s); acc += sb.toString }
-              acc.toSeq
-            })
-            var cur = alive.withColumn("__prefixes", segUdf(col("url")))
+            var cur = alive.withColumn("__prefixes", graft.url.urlfns.budget_prefixes(col("url")))
             for (k <- keys) {
               val rem = pathBudget(k)
               val matches = cur.withColumn("__m", array_contains(col("__prefixes"), k))
@@ -445,11 +642,14 @@ class CrawlEngine(
         }
 
         // 6. mark admitted as seen (insert at admission, `insert_link`
-        //    `website.rs:1718-1749`); bloom merged from per-partition filters
-        val admittedDs = timed("admit_ckpt")(admitted.as[FrontierEntry].localCheckpoint(true))
-        val admittedCount = timed("admit_count")(admittedDs.count())
+        //    `website.rs:1718-1749`). ONE fused job materializes the persist
+        //    cache, counts the delta, and builds the bloom (round 1: three
+        //    jobs). The persisted admitted set doubles as the seen-delta
+        //    backing store, so no separate seen checkpoint job is needed.
+        val admittedDs = admitted.as[FrontierEntry]
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val admittedCount = timed("admit_bloom")(admitCountAndBloom(admittedDs, candCount))
         val newSeen = admittedDs.select(lower(col("url")).as("url_lower"), col("url"))
-        timed("bloom")(mergeBloom(admittedDs.select(col("url")).toDF(), admittedCount))
 
         // 7+9. fetch + parse — priority-queue emission (repartition by host,
         //    secondary sort desc priority/depth/seq/url, north rule D5) then
@@ -461,121 +661,226 @@ class CrawlEngine(
         // dominates the frontier would otherwise pin one task; the salt
         // spreads each host over up to 16 tasks while keeping host affinity.
         // Politeness quotas were already enforced upstream, so fetch order
-        // within a salt shard is pure priority emission.
-        val fetchReady = admittedDs
-          .repartition(math.max(1, P), col("host"), pmod(xxhash64(col("url")), lit(16)))
-          .sortWithinPartitions(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
-          .as[FrontierEntry]
+        // within a salt shard is pure priority emission — unless
+        // `roundRobin` (D5, reference `UrlFrontier::pop` frontier.rs:78-121):
+        // then hosts interleave (every host's k-th URL precedes any host's
+        // (k+1)-th within a shard).
+        val fetchReady = {
+          val base =
+            if (config.roundRobin) {
+              val rrW = Window.partitionBy(col("host"))
+                .orderBy(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
+              admittedDs.withColumn("__rr", row_number().over(rrW))
+            } else admittedDs.toDF().withColumn("__rr", lit(0))
+          base
+            .repartition(math.max(1, P), col("host"), pmod(xxhash64(col("url")), lit(16)))
+            .sortWithinPartitions(col("__rr"), col("priority").desc, col("depth"),
+              col("discovery_seq"), col("url"))
+            .drop("__rr")
+            .as[FrontierEntry]
+        }
+        // Pages SINK to parquet per epoch (A7, north rule: parsed documents
+        // land in tables, never in executor memory). Round 1 localCheckpointed
+        // every full ParsedPage (spans + links, multiple KB each) through the
+        // block manager — at 10^6 pages/epoch that is gigabytes of live heap
+        // objects and the single biggest stall. Every downstream consumer
+        // (retry filter, signature dedup, link explode, pages view) is a
+        // COLUMN-PRUNED scan of the delta file instead.
         val ep = epoch
-        val parsed: Dataset[ParsedPage] =
-          if (epoch == 0L) {
-            val fetched = fetcher.fetch(spark, fetchReady).localCheckpoint(true)
-            val ph = scope.parentHost
-            val redirHosts = fetched
-              .filter(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != ph)
-              .map(_.f_final_url).take(1)
-            if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
-            val sc = scope
-            fetched.mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
-              .localCheckpoint(true)
-          } else {
-            val sc = scope
-            timed("fetch_parse")(fetcher.fetch(spark, fetchReady)
-              .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
-              .localCheckpoint(true))
-          }
+        val parsedPath = s"$pagesSink/epoch=$epoch"
+        if (epoch == 0L) {
+          val fetched = fetcher.fetch(spark, fetchReady).localCheckpoint(true) // seeds: tiny
+          val ph = scope.parentHost
+          val redirHosts = fetched
+            .filter(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != ph)
+            .map(_.f_final_url).take(1)
+          if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
+          val sc = scope
+          fetched.mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
+            .write.parquet(parsedPath)
+        } else {
+          val sc = scope
+          timed("fetch_parse")(fetcher.fetch(spark, fetchReady)
+            .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
+            .write.parquet(parsedPath))
+        }
+        val parsed: Dataset[ParsedPage] = spark.read.parquet(parsedPath).as[ParsedPage]
 
-        // 8. C7 retry ladder: retryable statuses re-queue with backoff and
-        //    are REMOVED from seen (`website.rs:8663-8666`); retried rows'
-        //    parse output is discarded (lazy filters over the cached parse)
-        val isRetryable = (s: org.apache.spark.sql.Column) =>
-          (s >= 500 && s =!= 501 && s =!= 505 && s =!= 511) || s === 429 || s === 408
-        val isRetried = isRetryable(col("status")) && col("attempt") < config.retryLimit
+        // reactive throttling (B9): 429 Retry-After reduces the host's rate
+        // (reference `DomainRateLimiter::throttle` rate_limiter.rs:121-137 —
+        // delay := Retry-After, bucket drained); latency EMA feeds the
+        // auto-throttle (auto_throttle.rs: delay ≈ ema/target_concurrency)
+        if (politenessOn) {
+          // ONE per-host aggregate feeds both reactive signals
+          val signals = parsed.toDF().groupBy(col("host")).agg(
+            max(when(col("status") === 429, col("retry_after_ms")).otherwise(lit(0L))).as("__ra"),
+            avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"))
+            .collect()
+          val drained = signals.filter(_.getLong(1) > 0)
+          if (drained.nonEmpty) {
+            drained.foreach(r => throttleOverrideMs.put(r.getString(0), Long.box(r.getLong(1))))
+            val drainedHosts = drained.map(_.getString(0)).toSeq
+            hostTokens = hostTokens.withColumn("tokens_milli",
+              when(col("host").isInCollection(drainedHosts), lit(0L))
+                .otherwise(col("tokens_milli")))
+          }
+          if (config.autoThrottle) {
+            val alpha = config.autoThrottleAlpha
+            signals.filter(!_.isNullAt(2)).foreach { r =>
+              val h = r.getString(0); val l = r.getDouble(2)
+              val prev = latencyEma.get(h)
+              val next = if (prev == null) l else prev.doubleValue + alpha * (l - prev.doubleValue)
+              latencyEma.put(h, Double.box(next))
+            }
+          }
+        }
+
+        // 8. C7 retry ladder (pluggable RetryPolicy; default = the
+        //    reference's 5xx/429/408 + capped exponential backoff ladder,
+        //    `website.rs:8388-8392`): retryable statuses re-queue with
+        //    backoff and are REMOVED from seen (`website.rs:8663-8666`)
+        val isRetried = retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts
         val retryDf = parsed.toDF().filter(isRetried)
           .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
             col("priority"), (col("attempt") + 1).as("attempt"),
-            // exponential backoff in logical epochs, capped (reference
-            // `backoff_delay(attempt, 1s, 60s)` `website.rs:8388-8392`)
-            (lit(epoch) + least(pow(lit(2.0), col("attempt") + 1), lit(60.0)).cast(LongType)).as("not_before"))
+            (lit(epoch) + retry.backoffEpochs(col("attempt"))).as("not_before"))
         // with retries disabled, nothing is ever removed from seen — skip
         // the anti-join and the extra count (delta size == admitted count)
-        val seenDelta = if (config.retryLimit > 0)
+        val seenDelta = if (retry.maxAttempts > 0)
           newSeen.join(retryDf.select(lower(col("url")).as("url_lower")),
             Seq("url_lower"), "left_anti")
         else newSeen
 
-        // pages delta: lazy projection over the cached parse (no extra job)
-        pageDeltas :+= parsed.toDF().filter(!isRetried)
-          .select(col("url"), col("final_url"), col("host"), col("depth"),
-            col("discovery_seq"), col("epoch"), col("status"), col("signature"),
-            col("title"), col("description"), col("og_image"), col("spans"))
+        // pages delta already sits in the sink (the pages view reads the
+        // whole directory and re-applies the retried filter)
+        pagesWritten = true
 
         // 10. C5 signature dedup: only the canonical-first page per NEW
         //     signature expands links; seen signatures expand nothing
-        //     (`website.rs:8671-8683`)
+        //     (`website.rs:8671-8683`). Winners are computed as a SKINNY
+        //     hash-aggregate (map-side partial) — full page rows (spans,
+        //     links) never shuffle for signature dedup; the winner set
+        //     semi-joins back (AQE picks broadcast when small).
         var expanding = (onShouldCrawl match {
           case Some(veto) => parsed.filter(veto) // B11: vetoed pages don't expand
           case None => parsed
         }).toDF()
         if (config.normalize) {
           val sigOk = expanding.filter(col("status") === 200 && col("signature") =!= 0L)
-          val sigNew = sigOk.join(broadcast(
-              signatures.join(broadcast(sigOk.select(col("signature").as("sig")).distinct()),
-                Seq("sig"), "left_semi")),
-            col("signature") === col("sig"), "left_anti")
-          val sigW = Window.partitionBy(col("signature")).orderBy(canonicalOrder: _*)
-          val firstPerSig = sigNew.withColumn("__srn", row_number().over(sigW))
-            .filter(col("__srn") === 1).drop("__srn", "sig")
-          val newSigs = firstPerSig.select(col("signature").as("sig"))
-          sigDeltas :+= timed("sig_ckpt")(newSigs.localCheckpoint(true))
+          val sigKey = struct(col("depth"), col("discovery_seq"), col("host"), col("url"))
+          val cands = sigOk.select(col("signature"), sigKey.as("__k"))
+            .groupBy(col("signature")).agg(min(col("__k")).as("__k"))
+          val hits = signatures.join(broadcast(cands.select(col("signature").as("sig"))),
+            Seq("sig"), "left_semi")
+          val newWinners = cands.join(broadcast(hits), col("signature") === col("sig"), "left_anti")
+          val firstPerSig = sigOk.withColumn("__k", sigKey)
+            .join(newWinners, Seq("signature", "__k"), "left_semi").drop("__k")
+          // lazy persist of a lineage-TRUNCATED plan: without the reroot,
+          // delta N's logical plan embeds the union of all prior deltas'
+          // plans recursively (exponential plan growth — OOMs the driver on
+          // multi-hundred-epoch crawls); materialized by the next epoch's
+          // signatures scan — no dedicated checkpoint job this epoch
+          sigDeltas :+= org.apache.spark.sql.GraftSqlBridge
+            .rerootOnRdd(newWinners.select(col("signature").as("sig"))).persist()
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
         } else {
           expanding = expanding.filter(col("status") === 200)
         }
 
-        // 11. explode links; assign deterministic discovery_seq in
-        //     (parent-canonical-order, span-position) order
+        // 11. explode links; case-insensitive dedup as a map-side-combining
+        //     hash aggregate keyed by lower(url) keeping the canonical-min
+        //     (p_depth, p_seq, pos, url) — replaces round 1's window over
+        //     every raw link row (full shuffle, no combine). Then assign
+        //     deterministic discovery_seq by global sort; the partition-count
+        //     pass doubles as the new-link count (no separate count job).
         val linksRaw = expanding
           .select(col("depth").as("p_depth"), col("discovery_seq").as("p_seq"),
             posexplode(col("links")).as(Seq("pos", "url")))
-          .select(col("url"), (col("p_depth") + 1).as("depth"), col("p_depth"), col("p_seq"), col("pos"))
-        val newLinkCount = timed("links_count")(linksRaw.count())
+        val uniq = linksRaw
+          .groupBy(lower(col("url")).as("__lu"))
+          .agg(min(struct(col("p_depth"), col("p_seq"), col("pos"), col("url"))).as("__m"))
+          .select(col("__m.p_depth").as("p_depth"), col("__m.p_seq").as("p_seq"),
+            col("__m.pos").as("pos"), col("__m.url").as("url"))
+        val sortCols = Seq(col("p_depth"), col("p_seq"), col("pos"), col("url"))
+        val parts = math.max(1, math.min(P, 200))
+        val sorted = uniq.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+        val sortedRdd = sorted.rdd // stable instance: shuffle reused by the frontier job
+        val partCounts = timed("links_seq")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
+          var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
+        }.collect().sortBy(_._1).map(_._2))
+        val newLinkCount = partCounts.sum
         var newFrontier = spark.emptyDataset[FrontierEntry].toDF()
         if (newLinkCount > 0) {
-          val linkDedupW = Window.partitionBy(lower(col("url")))
-            .orderBy(col("p_depth"), col("p_seq"), col("pos"), col("url"))
-          val uniq = linksRaw.withColumn("__rn", row_number().over(linkDedupW))
-            .filter(col("__rn") === 1).drop("__rn")
-          val seqd = withGlobalSeq(uniq,
-            Seq(col("p_depth"), col("p_seq"), col("pos"), col("url")), "__seq", seqCounter)
-          seqCounter += newLinkCount // upper bound; gaps are fine (monotone + deterministic)
+          val offsets = partCounts.scanLeft(seqCounter)(_ + _)
+          val schema = sorted.schema.add("__seq", LongType, nullable = false)
+          val withSeq = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+            var k = offsets(i)
+            it.map { r => val out = Row.fromSeq(r.toSeq :+ k); k += 1; out }
+          }
+          val seqd = spark.createDataFrame(withSeq, schema)
           import graft.url.urlfns._
           newFrontier = seqd.select(
             col("url"),
             url_host(col("url")).as("host"),
-            col("depth"),
+            (col("p_depth") + 1).as("depth"),
             col("__seq").as("discovery_seq"),
-            score_url(col("url"), col("depth")).as("priority"),
+            score_url(col("url"), col("p_depth") + 1).as("priority"),
             lit(0).as("attempt"),
             lit(0L).as("not_before"))
         }
+        seqCounter += newLinkCount
 
         // 12. next frontier = politeness-deferred ∪ retries ∪ new links,
-        //     case-insensitive-deduped (D1), seen-filtered lazily next epoch
-        val nextFrontierAll = deferredHold.unionByName(deferred)
-          .unionByName(budgetLeftover)
-          .unionByName(retryDf).unionByName(newFrontier)
-        val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
-        frontier = timed("frontier_ckpt")(nextFrontierAll.withColumn("__rn", row_number().over(fW))
-          .filter(col("__rn") === 1).drop("__rn")
-          .localCheckpoint(true))
+        //     case-insensitive-deduped (D1), seen-filtered lazily next epoch.
+        //     Without carryover streams the new-link set IS the next frontier
+        //     (already unique) — no union window, no count job.
+        frontier =
+          if (carryover) {
+            val nextFrontierAll = deferredHold.unionByName(deferred)
+              .unionByName(budgetLeftover)
+              .unionByName(retryDf).unionByName(newFrontier)
+            val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
+            timed("frontier_ckpt")(nextFrontierAll.withColumn("__rn", row_number().over(fW))
+              .filter(col("__rn") === 1).drop("__rn")
+              .localCheckpoint(true))
+          } else timed("frontier_ckpt")(newFrontier.localCheckpoint(true))
 
-        val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
-        seenDeltas :+= seenDeltaCk
-        seenCount += (if (config.retryLimit > 0) seenDeltaCk.count() else admittedCount)
-        val frontierCount = frontier.count()
+        if (retry.maxAttempts > 0) {
+          val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
+          seenDeltas :+= seenDeltaCk
+          seenCount += seenDeltaCk.count()
+          // every consumer of the admitted cache (bloom, fetch, seen delta)
+          // has materialized — release it NOW (leaving one cached plan per
+          // epoch alive OOMs the driver on multi-hundred-epoch crawls)
+          admittedDs.unpersist(false)
+        } else {
+          // lineage-truncating lazy delta over the persisted admitted set —
+          // zero extra jobs (GraftSqlBridge.rerootOnRdd)
+          seenDeltas :+= org.apache.spark.sql.GraftSqlBridge.rerootOnRdd(seenDelta)
+          seenCount += admittedCount
+          admittedCaches :+= admittedDs
+        }
+        val frontierCount = if (carryover) frontier.count() else newLinkCount
         frontierCountPrev = frontierCount
+
+        // state hygiene for long crawls: every k epochs fold the delta
+        // chains into ONE checkpointed table each and rebuild ONE bloom
+        // sized to the whole seen set — per-epoch gate cost stays flat over
+        // thousands of epochs instead of growing with crawl age
+        if (seenDeltas.size >= math.max(2, config.stateCompactionEpochs)) {
+          val compactedSeen = timed("seen_compact")(seen.localCheckpoint(true))
+          blooms = Vector.empty
+          bloomFromSeen(compactedSeen.select(col("url_lower")).as[String], math.max(1L, seenCount))
+          admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
+          admittedCaches = Vector.empty
+          seenDeltas = Vector(compactedSeen)
+          if (sigDeltas.size > 1) {
+            val compactedSigs = timed("sig_compact")(signatures.localCheckpoint(true))
+            sigDeltas.foreach(d => try d.unpersist() catch { case _: Throwable => })
+            sigDeltas = Vector(compactedSigs)
+          }
+        }
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
           newLinkCount, frontierCount, seenCount, budgetStopped,
@@ -584,7 +889,10 @@ class CrawlEngine(
         checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokens, pages,
           seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
 
+        epochCache.foreach(_.unpersist(false))
+        epochCache = None
         epoch += 1
+        onEpoch.foreach(f => f(epoch - 1))
         done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs ||
           shutdownRequested || System.nanoTime() > deadline
       }
@@ -690,6 +998,7 @@ object CrawlEngine {
     }
     val sig = signatureOf(spans)
     ParsedPage(f.url, f.f_final_url, f.host, f.depth, f.discovery_seq, f.priority,
-      f.attempt, epoch, f.f_status, sig, title, desc, og, spans, links.distinct.toArray)
+      f.attempt, epoch, f.f_status, sig, title, desc, og, spans, links.distinct.toArray,
+      f.f_retry_after_ms, f.f_latency_ms)
   }
 }

@@ -17,7 +17,13 @@ final case class FetchResult(
     attempt: Int,
     f_status: Int,
     f_final_url: String,
-    f_spans: Array[Span]
+    f_spans: Array[Span],
+    /** server `Retry-After` on 429/503, ms (0 = absent) — drives the
+      * per-host rate reduction (reference `rate_limiter.rs:121-137`). */
+    f_retry_after_ms: Long = 0L,
+    /** response latency, ms — drives the latency-EMA auto-throttle
+      * (reference `auto_throttle.rs`). */
+    f_latency_ms: Long = 0L
 )
 
 /** The pluggable fetch stage — the engine's re-expression of the
@@ -49,10 +55,12 @@ final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) exte
           doc = CorpusGen.docFor(p, url)
           hops += 1
         }
-        if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty)
+        val lat = CorpusGen.latencyMsFor(p, e.host)
+        if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty, 0L, lat)
         else if (doc.status >= 300 && doc.status < 400)
-          FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty) // too many redirects
-        else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans)
+          FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat) // too many redirects
+        else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
+          if (doc.status == 429) CorpusGen.retryAfterMsFor(p) else 0L, lat)
       }
     }
   }
@@ -99,6 +107,9 @@ final class TableFetcher(docs: DataFrame, redirectLimit: Int = 7) extends Fetche
       .withColumn("f_spans", coalesce(col("f_spans"),
         array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")))
       .drop("redirect_to")
+      // corpus tables carry no header sidecars — no Retry-After / latency
+      .withColumn("f_retry_after_ms", lit(0L))
+      .withColumn("f_latency_ms", lit(0L))
       .as[FetchResult]
   }
 }

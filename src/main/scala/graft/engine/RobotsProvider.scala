@@ -32,6 +32,17 @@ trait RobotsProvider extends Serializable {
     */
   final def crawlDelayMs(host: String, ua: String): Long =
     policyFor(host).crawlDelayMs(ua).map(math.min(_, 60000L)).getOrElse(0L)
+
+  /** Effective robots politeness delay: max(Crawl-delay, Request-rate) —
+    * the reference feeds BOTH into the per-domain rate
+    * (`rate_limiter.rs:142-153`).
+    */
+  final def politenessDelayMs(host: String, ua: String): Long = {
+    val p = policyFor(host)
+    math.max(
+      p.crawlDelayMs(ua).map(math.min(_, 60000L)).getOrElse(0L),
+      p.requestRateDelayMs(ua).map(math.min(_, 60000L)).getOrElse(0L))
+  }
 }
 
 /** Robots from the synthetic corpus (pure function of params). */

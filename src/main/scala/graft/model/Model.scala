@@ -121,7 +121,23 @@ final case class CrawlConfig(
     crawlTimeoutMs: Long = 0L, // wall-clock cap, 0 = none (reference `crawl_timeout` `website.rs:29`)
     tickMs: Long = 1000L, // logical duration of one epoch for politeness
     maxPerHostPerEpoch: Int = Int.MaxValue, // politeness burst cap
-    checkpointEvery: Int = 0 // 0 = no durable snapshots
+    checkpointEvery: Int = 0, // 0 = no durable snapshots
+    // B2/B3 regex variant (reference `regex` feature, `lib.rs:433-449`):
+    // whitelist/blacklist entries are regexes matched anywhere in the URL
+    listsAreRegex: Boolean = false,
+    // D5 domain round-robin fetch emission (reference `frontier.rs:78-121`)
+    roundRobin: Boolean = false,
+    // latency-EMA auto-throttle (reference `auto_throttle.rs`): delay ≈
+    // ema_latency / targetConcurrency, clamped to [min, max]
+    autoThrottle: Boolean = false,
+    autoThrottleTargetConcurrency: Double = 2.0,
+    autoThrottleMinDelayMs: Long = 0L,
+    autoThrottleMaxDelayMs: Long = 60000L,
+    autoThrottleAlpha: Double = 0.15,
+    // long-crawl state hygiene: every k epochs compact seen/signature
+    // deltas into one checkpointed table and rebuild ONE bloom, keeping
+    // per-epoch gate cost flat over thousands of epochs
+    stateCompactionEpochs: Int = 16
 ) {
   /** Effective wildcard budgeting flag (`determine_limits` `website.rs:14068-14075`). */
   def wildCardBudgeting: Boolean = budget.contains("*")

@@ -33,7 +33,9 @@ object OracleCrawler {
     Ordering.by(e => (e.depth, e.discovery_seq, e.host, e.url))
 
   def crawl(params: CorpusParams, config: CrawlConfig, robots: RobotsProvider,
-      seedUrls: Seq[String]): OracleResult = {
+      seedUrls: Seq[String],
+      retryPolicy: Option[graft.engine.RetryPolicy] = None): OracleResult = {
+    val retry = retryPolicy.getOrElse(new graft.engine.DefaultRetryPolicy(config.retryLimit))
 
     val seed0 = UrlOps.parse(seedUrls.head)
     var scope = ScopeState(
@@ -60,13 +62,30 @@ object OracleCrawler {
     var seqCounter = 0L
     var epoch = 0L
 
+    def listed(patterns: Seq[String], url: String): Boolean =
+      if (config.listsAreRegex) patterns.exists(p => p.r.findFirstIn(url).isDefined)
+      else patterns.contains(url)
+
     def gateDefault(e: FrontierEntry): Boolean = {
-      val wl = config.whitelist.toSet
-      val bl = config.blacklist.toSet
-      val wOk = wl.isEmpty || wl.contains(e.url)
-      val bOk = bl.isEmpty || !bl.contains(e.url)
+      val wOk = config.whitelist.isEmpty || listed(config.whitelist, e.url)
+      val bOk = config.blacklist.isEmpty || !listed(config.blacklist, e.url)
       val rOk = !config.respectRobotsTxt || robots.policyFor(e.host).canFetch(config.userAgent, e.url)
       wOk && bOk && rOk
+    }
+
+    // reactive politeness state (mirrors the engine's 429-throttle + EMA)
+    val throttleOverrideMs = scala.collection.mutable.Map.empty[String, Long]
+    val latencyEma = scala.collection.mutable.Map.empty[String, Double]
+    def overrideMs(host: String): Long = {
+      val thr = throttleOverrideMs.getOrElse(host, 0L)
+      val emaDelay =
+        if (!config.autoThrottle) 0L
+        else latencyEma.get(host).map { e =>
+          math.min(config.autoThrottleMaxDelayMs,
+            math.max(config.autoThrottleMinDelayMs,
+              (e / config.autoThrottleTargetConcurrency).toLong))
+        }.getOrElse(0L)
+      math.max(thr, emaDelay)
     }
 
     val canonSeeds = seedUrls.flatMap { s =>
@@ -103,8 +122,8 @@ object OracleCrawler {
           val byHost = gated0.groupBy(_.host)
           val adm = Vector.newBuilder[FrontierEntry]
           byHost.foreach { case (host, es) =>
-            val rd = if (config.respectRobotsTxt) robots.crawlDelayMs(host, config.userAgent) else 0L
-            val delay = math.max(config.delayMs, rd)
+            val rd = if (config.respectRobotsTxt) robots.politenessDelayMs(host, config.userAgent) else 0L
+            val delay = math.max(math.max(config.delayMs, rd), overrideMs(host))
             val permits = if (delay == 0) Long.MaxValue / 4 else config.tickMs * 1000L / delay
             val avail = math.min(hostTokens.getOrElse(host, 1000L) + permits,
               math.max(2000L, permits * 2))
@@ -168,19 +187,40 @@ object OracleCrawler {
           while (doc != null && doc.status >= 300 && doc.status < 400 && doc.redirect_to != null && hops < 7) {
             url = doc.redirect_to; doc = CorpusGen.docFor(params, url); hops += 1
           }
-          if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty)
+          val lat = CorpusGen.latencyMsFor(params, e.host)
+          if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty, 0L, lat)
           else if (doc.status >= 300 && doc.status < 400)
-            FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty)
-          else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans)
+            FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat)
+          else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
+            if (doc.status == 429) CorpusGen.retryAfterMsFor(params) else 0L, lat)
         }
 
-        // 8. retries (remove from seen, re-queue with backoff)
-        def retryable(s: Int) = (s >= 500 && s != 501 && s != 505 && s != 511) || s == 429 || s == 408
-        val (toRetry, keep) = fetched.partition(f => retryable(f.f_status) && f.attempt < config.retryLimit)
+        // 7b. reactive throttling mirror: 429 Retry-After reduces the host's
+        // rate and drains its bucket; latency EMA feeds the auto-throttle
+        if (politenessOn) {
+          fetched.filter(f => f.f_status == 429 && f.f_retry_after_ms > 0)
+            .groupBy(_.host).foreach { case (h, fs) =>
+              throttleOverrideMs(h) = math.max(throttleOverrideMs.getOrElse(h, 0L), fs.map(_.f_retry_after_ms).max)
+              hostTokens(h) = 0L
+            }
+          if (config.autoThrottle) {
+            fetched.filter(_.f_latency_ms > 0).groupBy(_.host).foreach { case (h, fs) =>
+              val avg = fs.map(_.f_latency_ms.toDouble).sum / fs.size
+              latencyEma(h) = latencyEma.get(h) match {
+                case Some(prev) => prev + config.autoThrottleAlpha * (avg - prev)
+                case None => avg
+              }
+            }
+          }
+        }
+
+        // 8. retries (remove from seen, re-queue with backoff; pluggable)
+        val (toRetry, keep) = fetched.partition(f =>
+          retry.isRetryableStatus(f.f_status) && f.attempt < retry.maxAttempts)
         val retryEntries = toRetry.map { f =>
           seen -= f.url.toLowerCase(java.util.Locale.ROOT)
           FrontierEntry(f.url, f.host, f.depth, f.discovery_seq, f.priority, f.attempt + 1,
-            epoch + math.min(math.pow(2.0, f.attempt + 1).toLong, 60L))
+            epoch + retry.backoffEpochsOf(f.attempt))
         }
 
         // 9a. scope re-anchor on epoch-0 cross-host redirect
@@ -212,7 +252,6 @@ object OracleCrawler {
         val linksRaw = expanding.flatMap { p =>
           p.links.zipWithIndex.map { case (u, pos) => (p.depth, p.discovery_seq, pos, u) }
         }
-        val newLinkCount = linksRaw.size.toLong
         val uniq = linksRaw.groupBy(_._4.toLowerCase(java.util.Locale.ROOT)).values
           .map(_.minBy(t => (t._1, t._2, t._3, t._4))).toVector
           .sortBy(t => (t._1, t._2, t._3, t._4))
@@ -220,7 +259,9 @@ object OracleCrawler {
           FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
             UrlOps.scoreUrl(u, pd + 1), 0, 0L)
         }
-        seqCounter += newLinkCount
+        // discovery_seq counts UNIQUE links (dense, matches the engine's
+        // single-pass dedup+seq assignment; order-preserving either way)
+        seqCounter += uniq.size.toLong
 
         // 12. next frontier, case-insensitive dedup keep canonical-min
         val all = held ++ deferred ++ budgetLeftover ++ retryEntries ++ newFrontier

@@ -104,6 +104,18 @@ object Robots {
         case None => if (!defaultEntry.isEmpty) defaultEntry.crawlDelayMs else None
       }
     }
+
+    /** `Request-rate: n/m` as an inter-request delay of m*1000/n ms —
+    * the reference wires it into the rate limiter via `set_rate`
+    * (`rate_limiter.rs:142-153`); round 1 parsed but never enforced it.
+    */
+    def requestRateDelayMs(userAgent: String): Option[Long] = {
+      if (!read) return None
+      val ua = prepareUa(userAgent)
+      val entry = entries.find(_.appliesToPrepared(ua))
+        .orElse(if (!defaultEntry.isEmpty) Some(defaultEntry) else None)
+      entry.flatMap(_.reqRate).collect { case (n, m) if n > 0 => (m * 1000L) / n }
+    }
   }
 
   val AllowAllPolicy: Policy = Policy(Vector.empty, EmptyEntry, disallowAll = false, allowAll = false, read = true)

@@ -136,6 +136,90 @@ object Drive {
       timed("full_warm")(println("  pairs = " + graft.queries.Queries.dNgramJaccard(spark, sf).count()))
       spark.stop(); return
     }
+    if (args.headOption.contains("genscale")) {
+      // raw-threadpool scaling of generate+parse (no Spark): isolates the
+      // per-page compute's thread scaling from Spark machinery
+      import graft.corpus.{CorpusGen, CorpusParams}
+      import graft.engine.{CrawlEngine, FetchResult, ScopeState}
+      val params = CorpusParams(hosts = 16, pagesPerHost = 60000, fanout = 48, textWords = 150)
+      val scope = ScopeState("", "www.site0.com", "https", "", "https://www.site0.com/",
+        Set("*"), fullResources = false)
+      val total = 960000L
+      def work(nThreads: Int): Double = {
+        val t0 = System.nanoTime()
+        val per = total / nThreads
+        val threads = (0 until nThreads).map { t =>
+          new Thread(() => {
+            var i = 0L
+            var acc = 0L
+            while (i < per) {
+              val p = (t * per + i) % (16L * 60000L)
+              val host = (p % 16).toInt
+              val url = CorpusGen.pageUrl(params, host, sub = false, p / 16)
+              val doc = CorpusGen.docFor(params, url)
+              if (doc != null) {
+                val f = FetchResult(url, s"www.site$host.com", 1, i, 0, 0, doc.status, url, doc.spans)
+                val pg = CrawlEngine.parsePage(f, scope, 1L)
+                acc += pg.links.length
+              }
+              i += 1
+            }
+            if (acc == -1) println("x") // keep acc live
+          })
+        }
+        threads.foreach(_.start()); threads.foreach(_.join())
+        total / ((System.nanoTime() - t0) / 1e9)
+      }
+      work(4) // warmup JIT
+      val r8 = work(8)
+      val r32 = work(32)
+      val r8b = work(8)
+      println(f"GENSCALE n8=$r8%.0f n32=$r32%.0f n8b=$r8b%.0f pages/s eff=${r32 / (4 * math.max(r8, r8b))}%.3f")
+      return
+    }
+    if (args.headOption.contains("throttlecrawl")) {
+      // reproduce the 429-throttle differential engine run in isolation
+      import graft.corpus.CorpusParams
+      import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+      import graft.model.CrawlConfig
+      val spark = session(4)
+      val params = CorpusParams(hosts = 1, pagesPerHost = 18, rateLimitEvery = 7, retryAfterMs = 3000L)
+      val cfg = CrawlConfig(delayMs = 100, tickMs = 1000, retryLimit = 1, maxEpochs = 300)
+      val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params),
+        new CorpusRobots(params), expectedUrls = 1000,
+        onEpoch = Some(ep => if (ep % 10 == 0) println(s"THROTTLE epoch=$ep heap=" +
+          (Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()) / 1048576 + "MB")))
+      val t0 = System.nanoTime()
+      val res = engine.crawl(Seq("https://www.site0.com/"))
+      println(f"THROTTLE done epochs=${res.epochs} pages=${res.pages.count()} in ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      res.metrics.grouped(20).zipWithIndex.foreach { case (g, i) =>
+        println(s"THROTTLE window$i avgms=${g.map(_.wall_ms).sum / g.size}")
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("longcrawl")) {
+      // flat-epoch evidence (VERDICT #7): a 200-epoch chain crawl (fanout 1)
+      // must show flat per-epoch wall_ms — state compaction bounds the
+      // seen/bloom/signature scan cost as the crawl ages
+      import graft.corpus.CorpusParams
+      import graft.engine.{CrawlEngine, GenerativeFetcher, NoRobots}
+      import graft.model.CrawlConfig
+      val spark = session(8)
+      val params = CorpusParams(hosts = 1, pagesPerHost = 220, fanout = 1)
+      val cfg = CrawlConfig(maxEpochs = 210, maxPerHostPerEpoch = 1, normalize = true)
+      val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), NoRobots,
+        expectedUrls = 1000)
+      val res = engine.crawl(Seq("https://www.site0.com/"))
+      val ms = res.metrics.map(_.wall_ms)
+      val firstAvg = ms.slice(5, 25).sum / 20.0
+      val lastAvg = ms.takeRight(20).sum / 20.0
+      println(f"LONGCRAWL epochs=${res.epochs} pages=${res.metrics.map(_.fetched).sum} " +
+        f"first20=${firstAvg}%.0fms last20=${lastAvg}%.0fms ratio=${lastAvg / firstAvg}%.2f")
+      res.metrics.grouped(20).zipWithIndex.foreach { case (g, i) =>
+        println(f"LONGCRAWL window$i avg=${g.map(_.wall_ms).sum / g.size}ms")
+      }
+      spark.stop(); return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

@@ -369,6 +369,22 @@ object UrlOps {
   /** URL path depth per the reference's depth budget (segment count). */
   def pathDepth(url: String): Int = budgetSegments(url).length
 
+  /** Accumulated budget-key prefixes (`joint_segment.push_str(seg)`,
+    * `website.rs:2085-2115`): segments concatenated WITHOUT separator.
+    */
+  def budgetPrefixesUtf8(url: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val segs = budgetSegments(url.toString)
+    val out = new Array[Any](segs.length)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < segs.length) {
+      sb.append(segs(i))
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   // -------------------------------------------------------------------
   // Scoring (frontier.rs:152-185)
   // -------------------------------------------------------------------

@@ -105,6 +105,19 @@ case class IsIgnoredAsset(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression) = copy(c)
 }
 
+/** `budget_prefixes(url)` — accumulated-segment budget keys (B7,
+  * `website.rs:2051-2121`): `/en/fr/x` → ["en", "enfr", "enfrx"]. One-pass
+  * codegen expression replacing the round-1 Scala UDF on the budget path.
+  */
+case class BudgetPrefixes(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(u: Any): Any =
+    UrlOps.budgetPrefixesUtf8(u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, u => s"graft.url.UrlOps.budgetPrefixesUtf8($u)")
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+}
+
 /** Column-level API for the URL expressions. */
 object urlfns {
   import GraftSqlBridge.{toColumn => column}
@@ -117,4 +130,5 @@ object urlfns {
   def path_depth(url: Column): Column = column(PathDepth(e(url)))
   def is_media_asset(url: Column): Column = column(IsMediaAsset(e(url)))
   def is_ignored_asset(url: Column): Column = column(IsIgnoredAsset(e(url)))
+  def budget_prefixes(url: Column): Column = column(BudgetPrefixes(e(url)))
 }

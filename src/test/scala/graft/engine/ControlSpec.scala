@@ -95,4 +95,126 @@ class ControlSpec extends AnyFunSuite {
     assert(res.epochs <= 2, s"shutdown ignored, ran ${res.epochs} epochs")
     assert(res.frontierRemainder.count() > 0, "graceful shutdown preserves the frontier")
   }
+
+  test("mid-crawl enqueue joins the frontier and is crawled (dequeue, website.rs:7528-7562)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // deterministic injection: enqueue an off-tree host at the end of epoch 1
+    // (site1 is unreachable from site0's links without external_domains)
+    var eng: CrawlEngine = null
+    eng = new CrawlEngine(spark, CrawlConfig(maxEpochs = 20),
+      new GenerativeFetcher(params), new CorpusRobots(params), expectedUrls = 10000,
+      onEpoch = Some(ep => if (ep == 1) eng.enqueue("https://www.site1.com/p1.html")))
+    val res = eng.crawl(Seq("https://www.site0.com/"))
+    val urls = res.pages.collect().map(_.getString(0)).toSet
+    assert(urls.contains("https://www.site1.com/p1.html"), "enqueued URL not crawled")
+    // injected URL passes the normal gate: its links do NOT escape scope
+    // (site1 children are out of site0's scope selectors — depth-0 injection
+    // keeps the page but the scope gate drops site1's own tree expansion?
+    // No: scope is anchored at site0, so site1 links are dropped by
+    // validateLink — only the injected page itself is fetched.)
+    assert(!urls.exists(u => u.startsWith("https://www.site1.com/") && u != "https://www.site1.com/p1.html"),
+      "injected URL's out-of-scope links must not expand")
+  }
+
+  test("pause freezes the crawl; unpause resumes it (handle_process value 1, website.rs:1839-1846)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val e = engine(CrawlConfig(maxEpochs = 20))
+    e.pause()
+    val fut = scala.concurrent.Future(e.crawl(Seq("https://www.site0.com/")))(
+      scala.concurrent.ExecutionContext.global)
+    Thread.sleep(1500)
+    assert(!fut.isCompleted, "crawl progressed while paused")
+    e.unpause()
+    val res = scala.concurrent.Await.result(fut, scala.concurrent.duration.Duration("120s"))
+    assert(res.pages.count() == 40, "crawl did not complete after unpause")
+  }
+
+  test("regex blacklist blocks matching URLs incl. seed (not_crawl_blacklist_regex shape)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // reference website.rs:14989-14996: blacklist ["choosealicense.com"]
+    // under the regex feature blocks the whole site => links_visited empty
+    val res = engine(CrawlConfig(maxEpochs = 20,
+      blacklist = Seq("site0\\.com"), listsAreRegex = true))
+      .crawl(Seq("https://www.site0.com/"))
+    assert(res.pages.count() == 0, "regex blacklist must block the seed host entirely")
+    // and a path-scoped regex blocks just that subtree
+    val partial = engine(CrawlConfig(maxEpochs = 20,
+      blacklist = Seq("/legal/"), listsAreRegex = true))
+      .crawl(Seq("https://www.site0.com/"))
+    val urls = partial.pages.collect().map(_.getString(0))
+    assert(urls.nonEmpty && !urls.exists(_.contains("/legal/")))
+  }
+
+  test("round-robin emission interleaves hosts within each fetch shard (frontier.rs:78-121)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // capture per-partition emission order through the fetcher seam
+    // each epoch: capture every shard's emission sequence, then verify that
+    // within a shard the GLOBAL per-host rank (the round number) never
+    // decreases — every host's k-th URL is emitted before any host's
+    // (k+1)-th (the salt spreads a host's rounds across shards, so ranks
+    // are recomputed globally per epoch here)
+    type RowKey = (String, Int, Int, Long, String) // host, priority, depth, seq, url
+    val epochs = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Seq[RowKey]]]()
+    val inner = new GenerativeFetcher(CorpusParams(hosts = 4, pagesPerHost = 30))
+    val spy = new Fetcher {
+      override def fetch(spark: SparkSession, admitted: org.apache.spark.sql.Dataset[graft.model.FrontierEntry]) = {
+        import spark.implicits._
+        val captured = admitted.mapPartitions { it =>
+          Iterator.single(it.map(e => (e.host, e.priority, e.depth, e.discovery_seq, e.url)).toVector)
+        }.collect().toSeq.map(_.toSeq)
+        epochs.add(captured)
+        inner.fetch(spark, admitted)
+      }
+    }
+    val p4 = CorpusParams(hosts = 4, pagesPerHost = 30)
+    val cfg = CrawlConfig(maxEpochs = 10, externalDomains = Set("*"), roundRobin = true)
+    new CrawlEngine(spark, cfg, spy, new CorpusRobots(p4), expectedUrls = 10000)
+      .crawl((0 until 4).map(i => s"https://www.site$i.com/"))
+    import scala.jdk.CollectionConverters._
+    var checked = 0
+    epochs.asScala.foreach { shards =>
+      val all = shards.flatten
+      val rank = all.groupBy(_._1).flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._2, r._3, r._4, r._5)).zipWithIndex.map { case (r, i) => r -> (i + 1) }
+      }
+      shards.filter(_.size >= 2).foreach { shard =>
+        val ranks = shard.map(rank)
+        assert(ranks == ranks.sorted,
+          s"round number decreased within a shard: ${shard.map(r => (r._1, rank(r)))}")
+        checked += 1
+      }
+    }
+    assert(checked > 0, "no multi-row shards captured")
+  }
+
+  test("pluggable RetryPolicy overrides the ladder (retry_strategy.rs:24-70)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    // a policy that refuses all retries even for 5xx
+    val never = new RetryPolicy {
+      def maxAttempts = 0
+      def isRetryable(s: Column): Column = lit(false)
+      def backoffEpochs(a: Column): Column = lit(0L)
+      def isRetryableStatus(s: Int) = false
+      def backoffEpochsOf(a: Int) = 0L
+    }
+    val pe = CorpusParams(hosts = 1, pagesPerHost = 40, errorEvery = 5)
+    val cfgRetry = CrawlConfig(maxEpochs = 30, retryLimit = 3)
+    val withLadder = new CrawlEngine(spark, cfgRetry, new GenerativeFetcher(pe),
+      new CorpusRobots(pe), expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    val withNever = new CrawlEngine(spark, cfgRetry, new GenerativeFetcher(pe),
+      new CorpusRobots(pe), expectedUrls = 10000, retryPolicy = Some(never))
+      .crawl(Seq("https://www.site0.com/"))
+    // ladder records error pages only after retries exhaust -> same page set,
+    // but the never-policy run must finish in fewer epochs (no backoff holds)
+    assert(withNever.epochs < withLadder.epochs,
+      s"policy ignored: ${withNever.epochs} vs ${withLadder.epochs}")
+    // differential: never-policy engine == never-policy oracle
+    val oracleNever = graft.oracle.OracleCrawler.crawl(pe, cfgRetry,
+      new CorpusRobots(pe), Seq("https://www.site0.com/"), retryPolicy = Some(never))
+    val engUrls = withNever.pages.collect().map(r => (r.getString(0), r.getAs[Int]("status"))).toSet
+    val oraUrls = oracleNever.pages.map(p => (p.url, p.status)).toSet
+    assert(engUrls == oraUrls, "custom-policy differential mismatch")
+  }
 }

@@ -18,6 +18,7 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.cleaner.periodicGC.interval", "1min")
     .getOrCreate()
 
   private def run(params: CorpusParams, config: CrawlConfig, seeds: Seq[String]) = {
@@ -155,5 +156,71 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     assertParity(er, or)
     assert(or.pages.exists(p => p.finalUrl != p.url), "expected followed redirects")
     assert(!or.pages.exists(p => p.status >= 300 && p.status < 310))
+  }
+
+  test("429 Retry-After throttles the host's rate (rate_limiter.rs:121-137 shape)") {
+    // corpus emits 429s with Retry-After 3000ms; politeness + retries on.
+    // After the first 429 the host's effective delay jumps to 3s => 0.33
+    // tokens/epoch => the crawl visibly slows, and engine == oracle exactly.
+    val params = CorpusParams(hosts = 1, pagesPerHost = 10, rateLimitEvery = 4,
+      retryAfterMs = 2000L)
+    val cfg = CrawlConfig(delayMs = 100, tickMs = 1000, retryLimit = 1, maxEpochs = 120)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(or.pages.exists(_.status == 429), "expected final 429 pages after retry cap")
+    // control: same corpus WITHOUT Retry-After throttling takes fewer epochs
+    val noThrottle = OracleCrawler.crawl(
+      params.copy(retryAfterMs = 0L), cfg, new CorpusRobots(params), Seq("https://www.site0.com/"))
+    assert(or.epochs > noThrottle.epochs,
+      s"throttle had no pacing effect: ${or.epochs} vs ${noThrottle.epochs}")
+  }
+
+  test("latency-EMA auto-throttle paces slow hosts (auto_throttle.rs shape)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 10)
+    // latencyMsFor gives each host a fixed 20-100ms latency; with
+    // target_concurrency 0.1 the derived delay (latency/0.1 up to 1s)
+    // dominates the 1ms static delay => pacing visible
+    val cfg = CrawlConfig(delayMs = 1, tickMs = 1000, maxEpochs = 120,
+      autoThrottle = true, autoThrottleTargetConcurrency = 0.1,
+      autoThrottleMaxDelayMs = 1000L)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    val plain = OracleCrawler.crawl(params, cfg.copy(autoThrottle = false),
+      new CorpusRobots(params), Seq("https://www.site0.com/"))
+    assert(or.seen == plain.seen, "auto-throttle changed the visited set")
+    assert(or.epochs > plain.epochs,
+      s"auto-throttle had no pacing effect: ${or.epochs} vs ${plain.epochs}")
+  }
+
+  test("robots Request-rate feeds the politeness quota (set_rate, rate_limiter.rs:142-153)") {
+    val params = CorpusParams(hosts = 1, pagesPerHost = 10)
+    // robots: Request-rate 1/2 (one request per 2s) and no Crawl-delay
+    val robots = new MapRobots(Map(
+      "www.site0.com" -> (200, "User-agent: *\nRequest-rate: 1/2\n"),
+      "sub.site0.com" -> (200, "User-agent: *\nRequest-rate: 1/2\n")))
+    val cfg = CrawlConfig(respectRobotsTxt = true, tickMs = 1000, maxEpochs = 120)
+    spark.sparkContext.setLogLevel("ERROR")
+    val engine = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), robots,
+      expectedUrls = 10000)
+    val er = engine.crawl(Seq("https://www.site0.com/"))
+    val or = OracleCrawler.crawl(params, cfg, robots, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    // 1 req / 2s at tick 1s = 0.5 tokens/epoch => ~2 epochs per page: the
+    // crawl must take at least ~1.5x epochs vs pages fetched
+    assert(or.epochs.toDouble >= or.pages.size * 1.5,
+      s"Request-rate unenforced: ${or.epochs} epochs for ${or.pages.size} pages")
+  }
+
+  test("state compaction preserves exact semantics across the fold boundary") {
+    // compaction every 3 epochs on a politeness-paced crawl that runs ~10+
+    // epochs: seen/signature folds + bloom rebuild must not change ANY set
+    val params = CorpusParams(hosts = 2, pagesPerHost = 20, dupContentEvery = 3)
+    val cfg = CrawlConfig(delayMs = 250, tickMs = 1000, maxEpochs = 120,
+      stateCompactionEpochs = 3)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    val plain = OracleCrawler.crawl(params, cfg.copy(stateCompactionEpochs = 1000),
+      new CorpusRobots(params), Seq("https://www.site0.com/"))
+    assert(or.seen == plain.seen)
   }
 }

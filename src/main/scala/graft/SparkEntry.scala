@@ -75,6 +75,22 @@ object SparkEntry {
     "('https://www.site0.com/docs/p8.html',2,200)",
     "('https://www.site0.com/p9.html',2,200)")
 
+  /** crawl_throttle pins: the 429/Retry-After reactive-politeness path
+    * (reference `rate_limiter.rs:121-137`), with `epoch` pinned so the
+    * driver verifies pacing (scenario: Queries.ThrottleScenario).
+    */
+  private[graft] val crawlThrottleRows: Seq[String] = Seq(
+    "('https://www.site0.com/',0,200,CAST(0 AS BIGINT))",
+    "('https://www.site0.com/p1.html',1,200,CAST(1 AS BIGINT))",
+    "('https://www.site0.com/docs/en/p2.html',1,200,CAST(1 AS BIGINT))",
+    "('https://www.site0.com/products/en/deep/p3.html',1,200,CAST(1 AS BIGINT))",
+    "('https://www.site0.com/legal/p4.html',1,429,CAST(13 AS BIGINT))",
+    "('https://www.site0.com/fr/fr/deep/p7.html',1,200,CAST(1 AS BIGINT))",
+    "('https://www.site0.com/p5.html',2,200,CAST(3 AS BIGINT))",
+    "('https://www.site0.com/en/fr/p6.html',2,200,CAST(5 AS BIGINT))",
+    "('https://www.site0.com/docs/p8.html',2,429,CAST(9 AS BIGINT))",
+    "('https://www.site0.com/p9.html',2,200,CAST(11 AS BIGINT))")
+
 
   // ------------------------------------------------------------------ //
   // Oracle SQL generators for the md5-hash sketch family
@@ -220,6 +236,7 @@ object SparkEntry {
     // crawl end-to-end (engine)
     "crawl_basic" -> (Queries.crawlBasic _),
     "crawl_budget" -> (Queries.crawlBudget _),
+    "crawl_throttle" -> (Queries.crawlThrottle _),
     // multimodal plumbing
     "m_media_meta" -> (Queries.mMediaMeta _)
   )
@@ -347,6 +364,9 @@ object SparkEntry {
         ") AS t(url, depth, status, signature)"),
     "crawl_budget" ->
       ("SELECT * FROM (VALUES " + crawlBudgetRows.mkString(", ") +
-        ") AS t(url, depth, status)")
+        ") AS t(url, depth, status)"),
+    "crawl_throttle" ->
+      ("SELECT * FROM (VALUES " + crawlThrottleRows.mkString(", ") +
+        ") AS t(url, depth, status, epoch)")
   )
 }

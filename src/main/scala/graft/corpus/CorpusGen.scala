@@ -31,6 +31,7 @@ final case class CorpusParams(
     errorEvery: Int = 0, // every k-th page is a 404/500 (0=off)
     rateLimitEvery: Int = 0, // every k-th page is a 429 with Retry-After (0=off)
     retryAfterMs: Long = 3000L, // Retry-After carried by synthetic 429s
+    retryAfterVaries: Boolean = false, // per-URL Retry-After in [r/2, 3r/2)
     externalLinksTo: Int = 1, // link a few pages to host (i+n)%hosts
     textWords: Int = 12 // base words per text span (bench uses realistic ~150)
 ) {
@@ -205,8 +206,18 @@ object CorpusGen {
     } else (200, null)
   }
 
-  /** Retry-After carried by the corpus's synthetic 429s (deterministic). */
-  def retryAfterMsFor(params: CorpusParams): Long = params.retryAfterMs
+  /** Retry-After carried by the corpus's synthetic 429s (deterministic).
+    * With `retryAfterVaries`, a per-URL value in [r/2, 3r/2) — successive
+    * 429s from one host then carry DIFFERENT values, exercising the
+    * overwrite semantics of the reference's `throttle`
+    * (`rate_limiter.rs:121-137`: later Retry-After replaces earlier).
+    */
+  def retryAfterMsFor(params: CorpusParams, url: String = ""): Long =
+    if (!params.retryAfterVaries || url.isEmpty) params.retryAfterMs
+    else {
+      val r = math.max(2L, params.retryAfterMs)
+      r / 2 + (mix(params.seed ^ url.hashCode.toLong) & 0x7fffffffL) % r
+    }
 
   /** Deterministic per-host response latency, ms — the auto-throttle's
     * input signal. Host idx spreads latencies over [20, 100).

@@ -568,8 +568,11 @@ class CrawlEngine(
             .withColumn("__avail",
               least(coalesce(col("tokens_milli"), lit(1000L)) + col("__permits"),
                 greatest(lit(2000L), col("__permits") * 2)))
+            // floor to integral admission (Spark `/` is double division;
+            // the sequential mirror uses Long division — they must agree
+            // for hosts whose effective delay exceeds tickMs, i.e. quota<1)
             .withColumn("__quota",
-              least(col("__avail") / 1000L, lit(config.maxPerHostPerEpoch.toLong)))
+              least(floor(col("__avail") / lit(1000L)), lit(config.maxPerHostPerEpoch.toLong)))
           val hw = Window.partitionBy(col("host"))
             .orderBy(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
           // cache the ranked gate+politeness output: hostTokens, admitted,
@@ -582,14 +585,20 @@ class CrawlEngine(
           deferred = rankedH.filter(col("__hrn") > col("__quota"))
             .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
               col("priority"), col("attempt"), lit(epoch + 1).as("not_before"))
-          // roll the per-host buckets forward
-          val consumedPerHost = adm.groupBy(col("host"))
-            .agg(count(lit(1)).as("__used"), first(col("__avail")).as("__a"))
-            .select(col("host"), (col("__a") - col("__used") * 1000L).as("tokens_milli"))
-          val untouched = rankedH.filter(col("__hrn") === 1).filter(col("__quota") === 0)
-            .select(col("host"), col("__avail").as("tokens_milli"))
-          hostTokens = consumedPerHost.unionByName(untouched)
-            .unionByName(hostTokens.join(consumedPerHost.unionByName(untouched),
+          // roll the per-host buckets forward: EVERY host present this epoch
+          // persists `__avail − used·1000` (the bucket accrues even when it
+          // admits nothing — a host at delay > tickMs earns a fractional
+          // token per epoch and must bank it to admit on a later epoch;
+          // round 2 persisted only admitting or quota==0 hosts, starving
+          // sub-1-token-per-epoch hosts forever)
+          val hostAvail = rankedH.filter(col("__hrn") === 1)
+            .select(col("host"), col("__avail"))
+          val consumedPerHost = adm.groupBy(col("host")).agg(count(lit(1)).as("__used"))
+          val rolled = hostAvail.join(broadcast(consumedPerHost), Seq("host"), "left")
+            .select(col("host"),
+              (col("__avail") - coalesce(col("__used"), lit(0L)) * 1000L).as("tokens_milli"))
+          hostTokens = rolled
+            .unionByName(hostTokens.join(broadcast(rolled.select(col("host"))),
               Seq("host"), "left_anti"))
             .localCheckpoint(true)
           polAdmitted = adm.select(col("url"), col("host"), col("depth"), col("discovery_seq"),

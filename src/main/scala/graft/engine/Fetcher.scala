@@ -60,7 +60,7 @@ final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) exte
         else if (doc.status >= 300 && doc.status < 400)
           FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat) // too many redirects
         else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
-          if (doc.status == 429) CorpusGen.retryAfterMsFor(p) else 0L, lat)
+          if (doc.status == 429) CorpusGen.retryAfterMsFor(p, url) else 0L, lat)
       }
     }
   }

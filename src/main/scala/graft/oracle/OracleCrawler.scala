@@ -88,9 +88,11 @@ object OracleCrawler {
       math.max(thr, emaDelay)
     }
 
+    // case-insensitive keep-first, mirroring the engine's seed establishment
+    val seedSeen = scala.collection.mutable.Set.empty[String]
     val canonSeeds = seedUrls.flatMap { s =>
       Option(UrlOps.convertAbsPath(s, s))
-    }.distinct
+    }.filter(u => seedSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
     var frontier: Vector[FrontierEntry] = canonSeeds.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
     }.toVector.filter(gateDefault)
@@ -192,15 +194,19 @@ object OracleCrawler {
           else if (doc.status >= 300 && doc.status < 400)
             FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat)
           else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
-            if (doc.status == 429) CorpusGen.retryAfterMsFor(params) else 0L, lat)
+            if (doc.status == 429) CorpusGen.retryAfterMsFor(params, url) else 0L, lat)
         }
 
         // 7b. reactive throttling mirror: 429 Retry-After reduces the host's
         // rate and drains its bucket; latency EMA feeds the auto-throttle
         if (politenessOn) {
+          // OVERWRITE (not max-merge) across epochs — the reference's
+          // `throttle` sets `bucket.rate = new_rate` unconditionally
+          // (`rate_limiter.rs:121-137`), and the engine mirrors that with
+          // a put; within one epoch concurrent 429s take the max
           fetched.filter(f => f.f_status == 429 && f.f_retry_after_ms > 0)
             .groupBy(_.host).foreach { case (h, fs) =>
-              throttleOverrideMs(h) = math.max(throttleOverrideMs.getOrElse(h, 0L), fs.map(_.f_retry_after_ms).max)
+              throttleOverrideMs(h) = fs.map(_.f_retry_after_ms).max
               hostTokens(h) = 0L
             }
           if (config.autoThrottle) {

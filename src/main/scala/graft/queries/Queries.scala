@@ -273,6 +273,33 @@ object Queries {
       .select(col("url"), col("depth"), col("status"), col("signature"))
   }
 
+  /** crawl_throttle scenario — shared by the query, `Drive oracledump`, and
+    * CrawlPinSpec so the three can never drift. 429s every 4th page with
+    * Retry-After 2s at tick 1s puts the host at 0.5 tokens/epoch after the
+    * first drain: the reactive-politeness path (reference
+    * `rate_limiter.rs:121-137`) that round 2's driver queries never
+    * exercised. `epoch` is part of the pinned output so the driver verifies
+    * PACING, not just the final page set.
+    */
+  object ThrottleScenario {
+    import graft.corpus.CorpusParams
+    import graft.model.CrawlConfig
+    val params: CorpusParams =
+      CorpusParams(hosts = 1, pagesPerHost = 10, rateLimitEvery = 4, retryAfterMs = 2000L)
+    val config: CrawlConfig =
+      CrawlConfig(delayMs = 100, tickMs = 1000, retryLimit = 1, maxEpochs = 120)
+    val seeds: Seq[String] = Seq("https://www.site0.com/")
+  }
+
+  def crawlThrottle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    val s = ThrottleScenario
+    val engine = new CrawlEngine(spark, s.config,
+      new GenerativeFetcher(s.params), new CorpusRobots(s.params), expectedUrls = 10000)
+    engine.crawl(s.seeds).pages
+      .select(col("url"), col("depth"), col("status"), col("epoch"))
+  }
+
   def crawlBudget(spark: SparkSession, dir: String): DataFrame = {
     import graft.corpus.CorpusParams
     import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}

@@ -41,7 +41,24 @@ object Drive {
         new CorpusRobots(pb), Seq("https://www.site0.com/"))
       println("BUDGET_ROWS " + budget.pages.map(p =>
         s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
+      val ts = graft.queries.Queries.ThrottleScenario
+      val throttle = OracleCrawler.crawl(ts.params, ts.config,
+        new CorpusRobots(ts.params), ts.seeds)
+      println("THROTTLE_ROWS " + throttle.pages.map(p =>
+        s"(${esc(p.url)},${p.depth},${p.status},CAST(${p.epoch} AS BIGINT))").mkString("|"))
       return
+    }
+    if (args.headOption.contains("throttledrive")) {
+      // engine run of the crawl_throttle scenario — rows must equal the
+      // THROTTLE_ROWS pins (per-page epoch = pacing parity)
+      val spark = session(4)
+      val rows = graft.queries.Queries.crawlThrottle(spark, "")
+        .orderBy("url").collect()
+      def esc(s: String) = "'" + s.replace("'", "''") + "'"
+      println("ENGINE_THROTTLE_ROWS " + rows.map(r =>
+        s"(${esc(r.getString(0))},${r.getInt(1)},${r.getInt(2)},CAST(${r.getLong(3)} AS BIGINT))")
+        .mkString("|"))
+      spark.stop(); return
     }
     if (args.headOption.contains("hashdrive")) {
       // new md5-hash expressions (MinHashSig/SimHash60/Hash60) under

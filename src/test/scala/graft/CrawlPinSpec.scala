@@ -35,4 +35,13 @@ class CrawlPinSpec extends AnyFunSuite {
     assert(live == SparkEntry.crawlBudgetRows,
       "regenerate with: runMain graft.tools.Drive oracledump")
   }
+
+  test("crawl_throttle pins match a live OracleCrawler run (epoch = pacing)") {
+    val s = graft.queries.Queries.ThrottleScenario
+    val res = OracleCrawler.crawl(s.params, s.config, new CorpusRobots(s.params), s.seeds)
+    val live = res.pages.map(p =>
+      s"(${esc(p.url)},${p.depth},${p.status},CAST(${p.epoch} AS BIGINT))")
+    assert(live == SparkEntry.crawlThrottleRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+  }
 }

@@ -175,6 +175,20 @@ class CrawlDifferentialSpec extends AnyFunSuite {
       s"throttle had no pacing effect: ${or.epochs} vs ${noThrottle.epochs}")
   }
 
+  test("varying Retry-After: later 429 OVERWRITES the host's throttle (rate_limiter.rs:121-137)") {
+    // per-URL Retry-After in [1000, 3000): successive 429s carry different
+    // values; the reference's `throttle` replaces the rate each time, so a
+    // later smaller Retry-After SPEEDS the host back up. Engine and oracle
+    // must pace identically (a max-merge on either side would diverge).
+    val params = CorpusParams(hosts = 1, pagesPerHost = 12, rateLimitEvery = 3,
+      retryAfterMs = 2000L, retryAfterVaries = true)
+    val cfg = CrawlConfig(delayMs = 100, tickMs = 1000, retryLimit = 1, maxEpochs = 150)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+    assert(er.epochs == or.epochs, s"pacing diverged: engine ${er.epochs} vs oracle ${or.epochs}")
+    assert(or.pages.exists(_.status == 429), "expected final 429 pages after retry cap")
+  }
+
   test("latency-EMA auto-throttle paces slow hosts (auto_throttle.rs shape)") {
     val params = CorpusParams(hosts = 2, pagesPerHost = 10)
     // latencyMsFor gives each host a fixed 20-100ms latency; with

@@ -513,13 +513,13 @@ class CrawlEngine(
         onEpoch.foreach(f => f(epoch - 1))
         if (frontier.isEmpty || epoch >= config.maxEpochs ||
           shutdownRequested || System.nanoTime() > deadline) done = true
-      } else {
+      } else timed("epoch_total") {
         // 1. B1 visited: bloom fast-negative (codegen expression over the
         //    broadcast filter group — no UDF on the hot path), broadcast
         //    semi-join for the rest; the big `seen` side is scanned but
         //    never shuffled.
         val withLower = ready.withColumn("url_lower", lower(col("url")))
-        val bloomGroup = new BloomGroup(spark.sparkContext.broadcast(blooms))
+        val bloomGroup = timed("bloom_bcast")(new BloomGroup(spark.sparkContext.broadcast(blooms)))
         val mightContain = enginefns.bloom_might_contain(col("url_lower"), bloomGroup)
         val definitelyNew = withLower.filter(!mightContain)
         val maybeSeen = withLower.filter(mightContain)
@@ -674,7 +674,7 @@ class CrawlEngine(
         // `roundRobin` (D5, reference `UrlFrontier::pop` frontier.rs:78-121):
         // then hosts interleave (every host's k-th URL precedes any host's
         // (k+1)-th within a shard).
-        val fetchReady = {
+        val fetchReady = timed("fetch_plan") {
           val base =
             if (config.roundRobin) {
               val rrW = Window.partitionBy(col("host"))
@@ -713,7 +713,8 @@ class CrawlEngine(
             .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
             .write.parquet(parsedPath))
         }
-        val parsed: Dataset[ParsedPage] = spark.read.parquet(parsedPath).as[ParsedPage]
+        val parsed: Dataset[ParsedPage] =
+          timed("parsed_read")(spark.read.parquet(parsedPath).as[ParsedPage])
 
         // reactive throttling (B9): 429 Retry-After reduces the host's rate
         // (reference `DomainRateLimiter::throttle` rate_limiter.rs:121-137 —
@@ -789,8 +790,8 @@ class CrawlEngine(
           // plans recursively (exponential plan growth — OOMs the driver on
           // multi-hundred-epoch crawls); materialized by the next epoch's
           // signatures scan — no dedicated checkpoint job this epoch
-          sigDeltas :+= org.apache.spark.sql.GraftSqlBridge
-            .rerootOnRdd(newWinners.select(col("signature").as("sig"))).persist()
+          sigDeltas :+= timed("sig_reroot")(org.apache.spark.sql.GraftSqlBridge
+            .rerootOnRdd(newWinners.select(col("signature").as("sig"))).persist())
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
         } else {
@@ -803,9 +804,9 @@ class CrawlEngine(
         //     every raw link row (full shuffle, no combine). Then assign
         //     deterministic discovery_seq by global sort; the partition-count
         //     pass doubles as the new-link count (no separate count job).
-        val linksRaw = expanding
+        val linksRaw = timed("links_plan")(expanding
           .select(col("depth").as("p_depth"), col("discovery_seq").as("p_seq"),
-            posexplode(col("links")).as(Seq("pos", "url")))
+            posexplode(col("links")).as(Seq("pos", "url"))))
         val uniq = linksRaw
           .groupBy(lower(col("url")).as("__lu"))
           .agg(min(struct(col("p_depth"), col("p_seq"), col("pos"), col("url"))).as("__m"))
@@ -814,7 +815,7 @@ class CrawlEngine(
         val sortCols = Seq(col("p_depth"), col("p_seq"), col("pos"), col("url"))
         val parts = math.max(1, math.min(P, 200))
         val sorted = uniq.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
-        val sortedRdd = sorted.rdd // stable instance: shuffle reused by the frontier job
+        val sortedRdd = timed("links_tordd")(sorted.rdd) // stable instance: shuffle reused by the frontier job
         val partCounts = timed("links_seq")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
           var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
         }.collect().sortBy(_._1).map(_._2))
@@ -866,7 +867,8 @@ class CrawlEngine(
         } else {
           // lineage-truncating lazy delta over the persisted admitted set —
           // zero extra jobs (GraftSqlBridge.rerootOnRdd)
-          seenDeltas :+= org.apache.spark.sql.GraftSqlBridge.rerootOnRdd(seenDelta)
+          seenDeltas :+= timed("seen_reroot")(
+            org.apache.spark.sql.GraftSqlBridge.rerootOnRdd(seenDelta))
           seenCount += admittedCount
           admittedCaches :+= admittedDs
         }

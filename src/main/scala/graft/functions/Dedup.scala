@@ -79,20 +79,53 @@ object Dedup {
   /** 60-bit SimHash over word shingles: one codegen pass. */
   def simhash(shingles: Column): Column = hashfns.simhash60(shingles)
 
-  /** SimHash near-dup pairs: 4×15-bit band blocking, verified by exact
-    * Hamming distance. For maxHamming ≤ 3 the band guarantee is total
-    * (pigeonhole), so the output is exactly {pairs | hamming ≤ maxHamming}.
+  /** SimHash near-dup pairs via the multi-block pigeonhole index (Manku,
+    * Jain & Das Sarma, "Detecting Near-Duplicates for Web Crawling",
+    * WWW'07 §3): split the 60-bit signature into m=6 blocks of 10 bits; a
+    * pair with Hamming ≤ maxHamming has ≥ m−maxHamming clean blocks, so it
+    * shares the full key of at least one (m−maxHamming)-block combination.
+    * Blocking on every C(m, m−maxHamming) combination therefore keeps
+    * recall 1.0 while the per-band key space is 2^((m−maxHamming)·10) —
+    * 2^30 keys for maxHamming=3 (vs the round-2 design's FIXED 2^15 keys
+    * per band, whose buckets grow linearly with corpus size and whose
+    * self-join is quadratic at 10⁹ docs). Candidate volume stays
+    * O(n·C(m,c) + Σ_buckets |b|²/2^30·n) — near-linear until n approaches
+    * 2^30 per table; bucket skew comes only from true signature classes
+    * (identical docs), whose pairs are the operator's OUTPUT, not overhead.
+    * Exact Hamming distance verifies every candidate.
     */
+  private def choose(n: Int, k: Int): Long =
+    (1 to k).foldLeft(1L)((acc, i) => acc * (n - i + 1) / i)
+
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 2, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 1 && maxHamming <= 59, s"maxHamming=$maxHamming must be in [1, 59]")
+    // pick (m blocks, c-block keys): need m > maxHamming (pigeonhole) and
+    // c <= m - maxHamming (some c-combination is all-clean); maximize key
+    // width c·(60/m) for selectivity, capped at 64 combinations.
+    // maxHamming=3 → m=6, c=3: C(6,3)=20 bands of 30-bit keys.
+    val divisors = Seq(4, 5, 6, 10, 12, 15, 20, 30, 60)
+    val options = for {
+      mm <- divisors if mm > maxHamming
+      cc <- 1 to math.min(mm - maxHamming, 3)
+      if choose(mm, cc) <= 64
+    } yield (mm, cc)
+    require(options.nonEmpty, s"no blocking scheme for maxHamming=$maxHamming")
+    val (m, c) = options.maxBy { case (mm, cc) => (cc * (60 / mm), -choose(mm, cc)) }
+    val blockBits = 60 / m
+    val mask = (1L << blockBits) - 1
     val withSig = df
       .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
       .select(col("__id"), simhash(col("__sh")).as("__sim"))
+    val comboKeys: Seq[Column] = (0 until m).combinations(c).map { blocks =>
+      blocks.foldLeft(lit(0L)) { (acc, b) =>
+        shiftleft(acc, blockBits).bitwiseOR(
+          shiftrightunsigned(col("__sim"), b * blockBits).bitwiseAND(lit(mask)))
+      }
+    }.toSeq
     val banded = withSig.select(col("__id"), col("__sim"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("__sim"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
-        .as(Seq("__band", "__bkey")))
+      posexplode(array(comboKeys: _*)).as(Seq("__band", "__bkey")))
     val a = banded.select(col("__band"), col("__bkey"), col("__id").as("id_a"), col("__sim").as("sim_a"))
     val b = banded.select(col("__band"), col("__bkey"), col("__id").as("id_b"), col("__sim").as("sim_b"))
     a.join(b, Seq("__band", "__bkey")).filter(col("id_a") < col("id_b"))
@@ -125,13 +158,25 @@ object Dedup {
       .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
       .filter(size(col("__sh")) > 0)
     val toks = docs.select(col("__id"), size(col("__sh")).as("__m"), explode(col("__sh")).as("__s"))
+    // Global shingle order for the prefix lemma. ANY fixed total order
+    // preserves recall 1.0 (Bayardo WWW'07 §3 — ordering only tunes the
+    // candidate count); frequency-ascending minimizes it. The full
+    // frequency table is O(distinct shingles) — billions of rows at 100 TB,
+    // never broadcastable — so only the top-K HOT shingles (the ones whose
+    // placement at the prefix END matters) carry their true count; the long
+    // rare tail defaults to a hash order that sorts BEFORE every hot
+    // shingle: rare-first without driver-side tail state.
+    val hotK = 65536
     val freq = toks.groupBy(col("__s")).agg(count(lit(1)).as("__f"))
+    val hot = freq.orderBy(col("__f").desc, col("__s")).limit(hotK)
     // rare-first rank within each doc; keep the prefix. The 1e-9 slack keeps
     // ceil() exact where t*m is a true integer (double rounding would
     // otherwise shorten the prefix and break the recall-1.0 guarantee).
-    // freq is |distinct shingles| rows — broadcast, never shuffle the index.
-    val w = Window.partitionBy(col("__id")).orderBy(col("__f"), col("__s"))
-    val prefix = toks.join(broadcast(freq), Seq("__s"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__hot"), col("__o"), col("__s"))
+    val prefix = toks.join(broadcast(hot), Seq("__s"), "left")
+      .withColumn("__hot", when(col("__f").isNull, 0).otherwise(1))
+      .withColumn("__o", when(col("__f").isNull, xxhash64(col("__s"))).otherwise(col("__f")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= col("__m") - ceil(lit(threshold) * col("__m") - lit(1e-9)) + 1)
       .select(col("__s"), col("__id"), col("__m"), col("__r"))

@@ -62,18 +62,10 @@ object TextFunctions {
       .otherwise("unknown")
   }
 
-  /** Document fingerprint: 64-bit FNV-1a rolling hash of the lowercased
-    * text (cheap dedup key; exact-match class finder).
+  /** Document fingerprint: md5 of the lowercased text (built-in, codegen'd,
+    * oracle-replayable; the exact-match dedup key).
     */
-  val fnv64: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf((s: String) => if (s == null) 0L else {
-      var h = 0xcbf29ce484222325L
-      var i = 0
-      while (i < s.length) { h ^= (s.charAt(i) & 0xffffL); h *= 0x100000001b3L; i += 1 }
-      h
-    })
-
-  def fingerprint(text: Column): Column = fnv64(lower(text))
+  def fingerprint(text: Column): Column = md5(lower(text))
 
   /** Word shingles (n-grams of tokens) — the dedup unit for MinHash /
     * Jaccard. One-pass codegen expression: the equivalent built-in chain

@@ -61,6 +61,11 @@ object TextHash {
     */
   def permMultiplier(i: Int): Long = hash28a(md5(s"perm:$i".getBytes("UTF-8"))) | 1L
 
+  // k md5 digests per signature — memoized per k, not recomputed per row
+  private val multCache = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Long]]()
+  private def multipliers(k: Int): Array[Long] =
+    multCache.computeIfAbsent(k, (k2: Integer) => Array.tabulate(k2)(permMultiplier))
+
   /** k MinHash values in ONE pass over the shingle array.
     *
     * Hash family: h_i(s) = (a(s)·c_i + b(s)) mod P over two independent
@@ -73,7 +78,7 @@ object TextHash {
     */
   def minhashSig(arr: ArrayData, k: Int): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)
-    val mult = Array.tabulate(k)(permMultiplier)
+    val mult = multipliers(k)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
@@ -215,9 +220,21 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
-/** `hyperplane_buckets(vec, tables, planes, dim)` → array<long>. */
+/** `hyperplane_buckets(vec, tables, planes, dim)` → array<long>.
+  * Declares `array<float>` input: the evaluator reads 4-byte floats, so an
+  * `array<double>` child must be rejected (or cast) at ANALYSIS time —
+  * silently reading half of each 8-byte slot would corrupt every bucket id.
+  */
 case class HyperplaneBuckets(child: Expression, tables: Int, planes: Int, dim: Int)
     extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"hyperplane_buckets requires array<float>, got $other")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
   override def nullSafeEval(v: Any): Any =

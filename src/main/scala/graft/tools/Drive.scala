@@ -153,6 +153,36 @@ object Drive {
       timed("full_warm")(println("  pairs = " + graft.queries.Queries.dNgramJaccard(spark, sf).count()))
       spark.stop(); return
     }
+    if (args.headOption.contains("simhashscale")) {
+      // SimHash blocking-scheme candidate volume at n synthetic signatures:
+      // Σ C(|bucket|,2) per scheme, computed from bucket SIZES only (the
+      // quadratic scheme's join is never materialized). Evidence that the
+      // multi-block pigeonhole index is near-linear where the fixed 4×15-bit
+      // banding is quadratic.
+      val spark = session(16)
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.Column
+      val n = args.lift(1).map(_.toLong).getOrElse(10000000L)
+      val sigs = spark.range(n)
+        .select(xxhash64(col("id")).bitwiseAND(lit((1L << 60) - 1)).as("__sim"))
+      def cands(keys: Seq[Column]): Long =
+        sigs.select(posexplode(array(keys: _*)).as(Seq("__band", "__bkey")))
+          .groupBy("__band", "__bkey").agg(count(lit(1)).as("c"))
+          .select(coalesce(sum(col("c") * (col("c") - 1) / 2), lit(0)).cast("long"))
+          .head().getLong(0)
+      val old4x15 = (0 until 4).map(b =>
+        shiftrightunsigned(col("__sim"), b * 15).bitwiseAND(lit(0x7fffL)))
+      val mask = (1L << 10) - 1
+      val combos = (0 until 6).combinations(3).map { blocks =>
+        blocks.foldLeft(lit(0L)) { (acc, b) =>
+          shiftleft(acc, 10).bitwiseOR(
+            shiftrightunsigned(col("__sim"), b * 10).bitwiseAND(lit(mask)))
+        }
+      }.toSeq
+      println(s"SIMHASHSCALE n=$n old_4x15_candidates=${cands(old4x15)} " +
+        s"multiindex_20x30bit_candidates=${cands(combos)}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("genscale")) {
       // raw-threadpool scaling of generate+parse (no Spark): isolates the
       // per-page compute's thread scaling from Spark machinery
@@ -187,11 +217,13 @@ object Drive {
         threads.foreach(_.start()); threads.foreach(_.join())
         total / ((System.nanoTime() - t0) / 1e9)
       }
+      val lo = args.lift(1).map(_.toInt).getOrElse(8)
+      val hi = args.lift(2).map(_.toInt).getOrElse(32)
       work(4) // warmup JIT
-      val r8 = work(8)
-      val r32 = work(32)
-      val r8b = work(8)
-      println(f"GENSCALE n8=$r8%.0f n32=$r32%.0f n8b=$r8b%.0f pages/s eff=${r32 / (4 * math.max(r8, r8b))}%.3f")
+      val r8 = work(lo)
+      val r32 = work(hi)
+      val r8b = work(lo)
+      println(f"GENSCALE n$lo=$r8%.0f n$hi=$r32%.0f n${lo}b=$r8b%.0f pages/s eff=${r32 / (hi / lo * math.max(r8, r8b))}%.3f")
       return
     }
     if (args.headOption.contains("throttlecrawl")) {

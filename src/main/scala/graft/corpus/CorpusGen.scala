@@ -33,6 +33,7 @@ final case class CorpusParams(
     retryAfterMs: Long = 3000L, // Retry-After carried by synthetic 429s
     retryAfterVaries: Boolean = false, // per-URL Retry-After in [r/2, 3r/2)
     externalLinksTo: Int = 1, // link a few pages to host (i+n)%hosts
+    orphanEvery: Int = 0, // pages with p%k==2 get NO inbound tree/cross links (sitemap-only; 0=off)
     textWords: Int = 12 // base words per text span (bench uses realistic ~150)
 ) {
   def pagesFor(hostIdx: Int): Int = if (hostIdx == 0) pagesPerHost * hotHostFactor else pagesPerHost
@@ -147,10 +148,12 @@ object CorpusGen {
     val pages = if (sub) subPages(params, hostIdx) else params.pagesFor(hostIdx)
 
     // tree children — href shapes rotate (canonicalization coverage)
+    def orphan(q: Long): Boolean =
+      params.orphanEvery > 1 && q > 0 && q % params.orphanEvery == 2
     var k = 0
     while (k < params.fanout) {
       val c = p * params.fanout + k + 1
-      if (c < pages) {
+      if (c < pages && !orphan(c)) {
         val cPath = pagePath(c)
         val href = ((p + k) % 5) match {
           case 0 => cPath // absolute path
@@ -166,7 +169,8 @@ object CorpusGen {
 
     // one cross link to a deterministic same-host page (graph density)
     if (pages > 1) {
-      val cross = (mix(hseed ^ (p * 13 + 5)) & 0x7fffffffffffffffL) % pages
+      val cross0 = (mix(hseed ^ (p * 13 + 5)) & 0x7fffffffffffffffL) % pages
+      val cross = if (orphan(cross0)) (cross0 + 1) % pages else cross0
       add("link", null, pagePath(cross))
       add("text", sentence(hseed ^ mix(ck * 3 + 2), params.textWords / 2), null)
     }
@@ -219,6 +223,12 @@ object CorpusGen {
       r / 2 + (mix(params.seed ^ url.hashCode.toLong) & 0x7fffffffL) % r
     }
 
+  /** Deterministic per-URL ETag for 200 responses (the server-header stand-in
+    * feeding the C9 etag column).
+    */
+  def etagFor(params: CorpusParams, url: String): String =
+    "W/\"" + java.lang.Long.toHexString(mix(params.seed ^ url.hashCode.toLong)) + "\""
+
   /** Deterministic per-host response latency, ms — the auto-throttle's
     * input signal. Host idx spreads latencies over [20, 100).
     */
@@ -235,7 +245,16 @@ object CorpusGen {
     * other document: an ordered span array whose `link` spans are the
     * `<loc>` entries.
     */
-  def sitemapFor(params: CorpusParams, host: String): CorpusDoc = {
+  def sitemapFor(params: CorpusParams, host: String): CorpusDoc =
+    sitemapFor(params, host, deep = false)
+
+  /** `deep = false` → `/sitemap.xml`: `<urlset>` of every 3rd page plus a
+    * nested `<sitemapindex>` entry (span kind "sitemap") pointing at
+    * `/sitemap-deep.xml`; `deep = true` → that second level, listing every
+    * 7th page offset by 1 — so the recursive walk contributes pages the
+    * first level does not.
+    */
+  def sitemapFor(params: CorpusParams, host: String, deep: Boolean): CorpusDoc = {
     val idx = hostIdxOf(params, host)
     if (idx < 0) return null
     val sub = host.startsWith("sub.")
@@ -243,14 +262,18 @@ object CorpusGen {
     val out = scala.collection.mutable.ArrayBuffer.empty[Span]
     var off = 0
     out += Span("text", "<urlset>", null, { off += 1; off - 1 })
-    var p = 0L
+    var p = if (deep) 1L else 0L
     var n = 0
-    while (p < pages && n < 50) {
+    val (step, cap) = if (deep) (7L, 30) else (3L, 50)
+    while (p < pages && n < cap) {
       out += Span("link", null, s"${params.scheme}://$host${pagePath(p)}", { off += 1; off - 1 })
-      p += 3; n += 1
+      p += step; n += 1
     }
+    if (!deep)
+      out += Span("sitemap", null, s"${params.scheme}://$host/sitemap-deep.xml", { off += 1; off - 1 })
     out += Span("text", "</urlset>", null, { off += 1; off - 1 })
-    CorpusDoc(s"${params.scheme}://$host/sitemap.xml", out.toArray, 200, null, "application/xml", "utf-8")
+    val path = if (deep) "/sitemap-deep.xml" else "/sitemap.xml"
+    CorpusDoc(s"${params.scheme}://$host$path", out.toArray, 200, null, "application/xml", "utf-8")
   }
 
   private def hostIdxOf(params: CorpusParams, host: String): Int = {
@@ -266,7 +289,9 @@ object CorpusGen {
     */
   def docFor(params: CorpusParams, url: String): CorpusDoc = {
     if (url != null && url.endsWith("/sitemap.xml"))
-      return sitemapFor(params, graft.url.UrlOps.host(url))
+      return sitemapFor(params, graft.url.UrlOps.host(url), deep = false)
+    if (url != null && url.endsWith("/sitemap-deep.xml"))
+      return sitemapFor(params, graft.url.UrlOps.host(url), deep = true)
     val parsed = parseUrl(params, url)
     if (parsed == null) return null
     val (hostIdx, sub, p) = parsed

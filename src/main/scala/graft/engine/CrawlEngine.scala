@@ -32,8 +32,13 @@ final case class ParsedPage(
     discovery_seq: Long, priority: Int, attempt: Int, epoch: Long,
     status: Int, signature: Long,
     title: String, description: String, og_image: String,
+    charset: String, etag: String,
     spans: Array[Span], links: Array[String],
-    retry_after_ms: Long, latency_ms: Long)
+    retry_after_ms: Long, latency_ms: Long,
+    /** `<sitemapindex>` locs (span kind "sitemap") — the recursive sitemap
+      * walk's next level (reference `SiteMapEntity::SiteMap`,
+      * `website.rs:12748-12753`); empty for ordinary pages. */
+    sitemap_links: Array[String] = Array.empty)
 
 /** C7 — pluggable retry strategy (reference `retry_strategy.rs:24-70`: a
   * user hook deciding per attempt whether/how to retry; the fetch-profile
@@ -107,6 +112,13 @@ class CrawlEngine(
       * ladder driven by `config.retryLimit`.
       */
     retryPolicy: Option[RetryPolicy] = None,
+    /** Per-link rewrite hook applied at link-find time, before gating
+      * (reference `on_link_find_callback` `website.rs:1253`, applied
+      * 4067/4318/5873 — the URL inserted into the frontier/seen set is the
+      * REWRITTEN one). Runs executor-side inside the parse pass — must be
+      * serializable and pure.
+      */
+    onLinkFind: Option[String => String] = None,
     /** Driver-side hook invoked after each completed epoch (monitoring /
       * deterministic mid-crawl control in tests).
       */
@@ -116,7 +128,15 @@ class CrawlEngine(
 
   import spark.implicits._
 
-  private val P = spark.sparkContext.defaultParallelism
+  /** Partition count for the engine's explicit exchanges — follows the
+    * session's `spark.sql.shuffle.partitions` (the knob a cluster operator
+    * already sizes) rather than core count: oversized tasks build
+    * multi-million-key aggregation hash maps whose working set thrashes
+    * the shared cache; more, smaller partitions keep per-task state
+    * cache-resident and let AQE coalesce where they're too fine.
+    */
+  private def P = math.max(spark.sessionState.conf.numShufflePartitions,
+    spark.sparkContext.defaultParallelism)
   private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
   private def timed[T](label: String)(f: => T): T = {
     if (!trace) f else {
@@ -231,22 +251,22 @@ class CrawlEngine(
     crawl(seedUrls).pages.as[graft.model.PageRow].collect()
   }
 
-  /** A6 — sitemap-source crawl (`crawl_sitemap` `website.rs:6994-7028`,
-    * recursive walk 12578+): each seed's `/sitemap.xml` joins the seed list;
-    * its `<loc>` entries are span-encoded links, so the ordinary parse →
-    * gate → frontier machinery ingests them. (The reference chains the
-    * sitemap AFTER the crawl; with the gate idempotent over `seen`, seeding
-    * upfront yields the same visited set when budgets are off.)
+  /** A6 — crawl with the sitemap CHAINED AFTER it (reference `crawl()` =
+    * `crawl_concurrent` then `sitemap_crawl_chain`, `website.rs:6974-6976`;
+    * recursive `<sitemapindex>` walk `website.rs:12578+`): the main crawl
+    * spends budget first; each seed's `/sitemap.xml` is then walked —
+    * budgetless for the sitemap docs themselves, budget-gated for their
+    * entries, recursing into nested sitemap indexes. Entry pages are
+    * recorded but their links never expand. One deviation, documented:
+    * with `normalize` on, the reference also drops duplicate-signature
+    * ENTRY pages from its output; here signature dedup only ever gates
+    * expansion, so chain-phase entry pages are always recorded.
     */
-  def crawlSitemap(seedUrls: Seq[String]): CrawlResult = {
-    val sitemaps = seedUrls.flatMap { s =>
-      val p = UrlOps.parseCrawlBase(s)
-      if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
-    }
-    crawl(seedUrls ++ sitemaps)
-  }
+  def crawlSitemap(seedUrls: Seq[String]): CrawlResult =
+    crawl(seedUrls, sitemapChain = true)
 
-  def crawl(seedUrls0: Seq[String], resumeFrom: Option[Checkpointer] = None): CrawlResult = {
+  def crawl(seedUrls0: Seq[String], resumeFrom: Option[Checkpointer] = None,
+      sitemapChain: Boolean = false): CrawlResult = {
     // A2 — glob seed expansion (`features/glob.rs`, `website.rs:3875-3885`)
     val seedUrls = graft.url.Glob.expandSeeds(seedUrls0)
     require(seedUrls.nonEmpty, "need at least one seed")
@@ -319,17 +339,33 @@ class CrawlEngine(
     var restoredPages: Option[DataFrame] = None // resume-injected prior pages
     val pageCols = Seq(col("url"), col("final_url"), col("host"), col("depth"),
       col("discovery_seq"), col("epoch"), col("status"), col("signature"),
-      col("title"), col("description"), col("og_image"), col("spans"))
+      col("title"), col("description"), col("og_image"), col("charset"),
+      col("etag"), col("spans"))
     def pages: DataFrame = {
       val retriedCol = retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts
       val fresh =
         if (!pagesWritten) emptyPages
-        else spark.read.option("recursiveFileLookup", "true").parquet(pagesSink)
+        else spark.read.schema(CrawlEngine.parsedSchema)
+          .option("recursiveFileLookup", "true").parquet(pagesSink)
           .filter(!retriedCol).select(pageCols: _*)
       restoredPages.map(_.unionByName(fresh)).getOrElse(fresh)
     }
     var seenCount = 0L
-    var hostTokens = spark.emptyDataset[(String, Long)].toDF("host", "tokens_milli")
+    // per-host token buckets, driver-held in an access-ordered LRU map
+    // capped at 100k hosts — the reference holds its per-domain limiter
+    // buckets exactly this way (`rate_limiter.rs` MAX_ENTRIES); an evicted
+    // host re-creates a fresh full bucket, like an evicted DashMap entry.
+    // Round 2 kept this as a DataFrame rolled forward with a
+    // localCheckpoint per epoch — a full driver job + broadcast exchange
+    // for what is a bounded driver-side ledger.
+    val hostTokensMap = lruMap[java.lang.Long]()
+    def hostTokensDf(): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val rows = hostTokensMap.entrySet().asScala.toSeq
+        .map(e => (e.getKey, e.getValue.longValue))
+      if (rows.isEmpty) spark.emptyDataset[(String, Long)].toDF("host", "tokens_milli")
+      else spark.createDataset(rows).toDF("host", "tokens_milli")
+    }
     var seqCounter = 0L
     var epoch = 0L
     val metrics = scala.collection.mutable.ArrayBuffer.empty[EpochMetrics]
@@ -346,11 +382,19 @@ class CrawlEngine(
     }
 
     // Fused admit materialization: ONE job populates the persist cache,
-    // counts the delta, and builds the per-partition blooms (round 1 spent
-    // three driver round-trips here). Bloom sizing uses the candidate-count
+    // counts the delta, builds the per-partition blooms (round 1 spent
+    // three driver round-trips here), and surfaces the epoch's HOT hosts
+    // for fetch-stage salting. Bloom sizing uses the candidate-count
     // upper bound (>= admitted count) so per-partition filters stay
     // merge-compatible without a pre-count. Keys are UTF8String lowercase —
     // bit-identical to the Spark `lower()` the probe side applies.
+    // D4 skew: a host holding share s of the epoch's admitted rows gets a
+    // salt width ~4sP (min 16 preserves cold-host affinity for connection
+    // reuse at the fetch seam); round 2's fixed salt-16 capped a 50%-hot
+    // host at 16 tasks regardless of cluster size. Hosts are emitted from
+    // a partition only when locally hot (>= 1/8 of the partition), so the
+    // collected map stays tiny at any host cardinality.
+    var hotHostWidths: Map[String, Int] = Map.empty
     def admitCountAndBloom(admitted: Dataset[FrontierEntry], expectedUpper: Long): Long = {
       val size = math.max(1024L, expectedUpper)
       val parts = admitted.mapPartitions { it =>
@@ -358,17 +402,30 @@ class CrawlEngine(
         else {
           val b = BloomFilter.create(size, 0.01)
           var n = 0L
+          val hostCounts = new java.util.HashMap[String, Long]()
           it.foreach { e =>
             b.putBinary(org.apache.spark.unsafe.types.UTF8String.fromString(e.url).toLowerCase.getBytes)
+            hostCounts.merge(e.host, 1L, (a, bb) => a + bb)
             n += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
           b.writeTo(bos)
-          Iterator.single((n, bos.toByteArray))
+          import scala.jdk.CollectionConverters._
+          val hot = hostCounts.asScala.filter { case (_, c) => c * 8 >= n && c >= 32 }.toSeq
+          Iterator.single((n, bos.toByteArray, hot))
         }
       }.collect()
       mergeBloomParts(parts.map(_._2))
-      parts.map(_._1).sum
+      val total = parts.map(_._1).sum
+      val pNow = P
+      hotHostWidths =
+        if (total <= 0) Map.empty
+        else parts.iterator.flatMap(_._3).toSeq.groupBy(_._1)
+          .map { case (h, cs) => (h, cs.map(_._2).sum) }
+          .map { case (h, c) => (h, math.ceil(c.toDouble / total * 4 * pNow).toInt) }
+          .filter(_._2 > 16)
+          .take(64)
+      total
     }
 
     // resume path: rebuild one bloom from the restored seen table
@@ -414,7 +471,8 @@ class CrawlEngine(
         seenDeltas = Vector(ck.readTable(e, "seen").localCheckpoint(true))
         sigDeltas = Vector(ck.readTable(e, "signatures").localCheckpoint(true))
         restoredPages = Some(ck.readTable(e, "pages").localCheckpoint(true))
-        hostTokens = ck.readTable(e, "host_tokens").localCheckpoint(true)
+        ck.readTable(e, "host_tokens").collect()
+          .foreach(r => hostTokensMap.put(r.getString(0), Long.box(r.getLong(1))))
         seenCount = seenDeltas.head.count()
         blooms = Vector.empty
         bloomFromSeen(seenDeltas.head.select(col("url_lower")).as[String], seenCount)
@@ -471,9 +529,26 @@ class CrawlEngine(
       if (rows.isEmpty) spark.emptyDataset[(String, Long)].toDF("host", "override_ms")
       else spark.createDataset(rows).toDF("host", "override_ms")
     }
-    var frontierCountPrev = frontier.count()
+    // driver-side not_before histogram of the frontier, refreshed by the
+    // SAME job that counts it: per-epoch readiness (`candCount`) then needs
+    // NO job at all — a politeness-paced crawl's empty ticks (hosts banking
+    // fractional tokens) advance logical time for free
+    var readyHist: Map[Long, Long] = Map.empty
+    def histOf(df: DataFrame): Map[Long, Long] =
+      df.groupBy(col("not_before")).agg(count(lit(1)).as("n")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+    readyHist = histOf(frontier)
+    var frontierCountPrev = readyHist.values.sum
     var done = frontierCountPrev == 0
     var epochCache: Option[DataFrame] = None // politeness rank cache, per epoch
+    // A6 chain state: lowercased canonical URLs of every sitemap DOCUMENT
+    // (seed /sitemap.xml + recursively discovered <sitemapindex> locs) —
+    // drives budget exemption and the chain's expansion rule. Bounded by
+    // sitemap count, never by page count.
+    var chainStarted = false
+    val chainSitemapLower = scala.collection.mutable.Set.empty[String]
+    var crawling = true
+    while (crawling) {
     while (!done) {
       // D9 pause (reference `handle_process` value 1, `website.rs:1839-1846`):
       // wall-clock wait between epochs; logical time frozen
@@ -496,7 +571,8 @@ class CrawlEngine(
             .withColumn("__rn", row_number().over(fW))
             .filter(col("__rn") === 1).drop("__rn")
             .localCheckpoint(true)
-          frontierCountPrev = frontier.count()
+          readyHist = histOf(frontier)
+          frontierCountPrev = readyHist.values.sum
         }
       }
 
@@ -505,7 +581,9 @@ class CrawlEngine(
       val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
         else spark.emptyDataset[FrontierEntry].toDF()
       val epochT0 = System.nanoTime()
-      val candCount = if (holdsPossible) ready.count() else frontierCountPrev
+      val candCount =
+        if (holdsPossible) readyHist.iterator.filter(_._1 <= epoch).map(_._2).sum
+        else frontierCountPrev
 
       if (candCount == 0) {
         // nothing ready this tick — advance logical time only
@@ -561,10 +639,14 @@ class CrawlEngine(
             .join(broadcast(overridesDf()), Seq("host"), "left")
             .withColumn("__delay", greatest(delayCol, coalesce(col("override_ms"), lit(0L))))
             .drop("override_ms")
-            .join(broadcast(hostTokens), Seq("host"), "left")
+            .join(broadcast(hostTokensDf()), Seq("host"), "left")
+          // floor division: the sequential mirror banks INTEGRAL
+          // milli-tokens (Long division); Spark `/` is double division and
+          // would bank fractional permits that drift from the oracle at
+          // non-divisible delays (e.g. 333.33/epoch vs 333)
           val avail = withDelay.withColumn("__permits",
               when(col("__delay") === 0, lit(Long.MaxValue / 4))
-                .otherwise(lit(tick) * 1000L / col("__delay")))
+                .otherwise(floor(lit(tick) * 1000L / col("__delay"))))
             .withColumn("__avail",
               least(coalesce(col("tokens_milli"), lit(1000L)) + col("__permits"),
                 greatest(lit(2000L), col("__permits") * 2)))
@@ -586,21 +668,19 @@ class CrawlEngine(
             .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
               col("priority"), col("attempt"), lit(epoch + 1).as("not_before"))
           // roll the per-host buckets forward: EVERY host present this epoch
-          // persists `__avail − used·1000` (the bucket accrues even when it
+          // banks `__avail − used·1000` (the bucket accrues even when it
           // admits nothing — a host at delay > tickMs earns a fractional
           // token per epoch and must bank it to admit on a later epoch;
           // round 2 persisted only admitting or quota==0 hosts, starving
-          // sub-1-token-per-epoch hosts forever)
-          val hostAvail = rankedH.filter(col("__hrn") === 1)
-            .select(col("host"), col("__avail"))
-          val consumedPerHost = adm.groupBy(col("host")).agg(count(lit(1)).as("__used"))
-          val rolled = hostAvail.join(broadcast(consumedPerHost), Seq("host"), "left")
-            .select(col("host"),
-              (col("__avail") - coalesce(col("__used"), lit(0L)) * 1000L).as("tokens_milli"))
-          hostTokens = rolled
-            .unionByName(hostTokens.join(broadcast(rolled.select(col("host"))),
-              Seq("host"), "left_anti"))
-            .localCheckpoint(true)
+          // sub-1-token-per-epoch hosts forever). ONE small aggregate
+          // collect updates the driver ledger (this also populates the
+          // rankedH cache for every later consumer this epoch).
+          timed("tokens_roll")(rankedH.groupBy(col("host")).agg(
+              max(col("__avail")).as("__a"),
+              sum(when(col("__hrn") <= col("__quota"), 1L).otherwise(0L)).as("__used"))
+            .collect()
+            .foreach(r => hostTokensMap.put(r.getString(0),
+              Long.box(r.getLong(1) - r.getLong(2) * 1000L))))
           polAdmitted = adm.select(col("url"), col("host"), col("depth"), col("discovery_seq"),
             col("priority"), col("attempt"), col("not_before"))
         }
@@ -611,7 +691,14 @@ class CrawlEngine(
         var admitted = polAdmitted
         var budgetLeftover = spark.emptyDataset[FrontierEntry].toDF()
         if (config.wildCardBudgeting || pathBudget.nonEmpty) {
-          val ranked = withGlobalSeq(polAdmitted, canonicalOrder, "__grank", 0L).localCheckpoint(true)
+          // chain phase: the sitemap DOCUMENTS are admitted budgetless
+          // (`is_allowed_budgetless`, `website.rs:11716-11722`); their
+          // entries consume budget normally
+          val smExempt = chainStarted && chainSitemapLower.nonEmpty
+          val exemptCond =
+            if (smExempt) lower(col("url")).isInCollection(chainSitemapLower.toSeq) else lit(false)
+          val budgeted = if (smExempt) polAdmitted.filter(!exemptCond) else polAdmitted
+          val ranked = withGlobalSeq(budgeted, canonicalOrder, "__grank", 0L).localCheckpoint(true)
           var alive = ranked
           if (config.wildCardBudgeting) {
             // wildcard passes links while budget > 1, then EXCEEDS at ==1
@@ -631,23 +718,53 @@ class CrawlEngine(
             wildcardRemaining -= math.min(n, passCount)
           }
           if (pathBudget.nonEmpty) {
-            // per-key window in accumulated-segment order; outer keys consume
-            // before inner ones reject (walk order `website.rs:2085-2115`)
+            // per-key admission in accumulated-segment order; outer keys
+            // consume before inner ones reject (walk order
+            // `website.rs:2085-2115`). No window: round 2 partitioned a
+            // row_number window on a BOOLEAN match flag, funnelling every
+            // matching candidate in the epoch through one task. Instead the
+            // rem-th match's global cutoff rank is derived from
+            // per-partition match counts (partitions are __grank ranges,
+            // courtesy of withGlobalSeq's range partitioning) plus one
+            // boundary-partition scan — admission is then a pure filter.
             val keys = pathBudget.keys.toSeq.sortBy(_.length)
             var cur = alive.withColumn("__prefixes", graft.url.urlfns.budget_prefixes(col("url")))
             for (k <- keys) {
               val rem = pathBudget(k)
               val matches = cur.withColumn("__m", array_contains(col("__prefixes"), k))
-              val w = Window.partitionBy(col("__m")).orderBy(col("__grank"))
-              val rankedK = matches.withColumn("__krn", row_number().over(w))
-              val passed = rankedK.filter(!col("__m") || col("__krn") <= lit(rem))
-              val consumed = math.min(rankedK.filter(col("__m")).count(), rem)
-              pathBudget = pathBudget.updated(k, rem - consumed)
-              cur = passed.drop("__m", "__krn")
+              val flags = matches.select(col("__m"), col("__grank"))
+              val perPart = flags.rdd.mapPartitionsWithIndex { (i, it) =>
+                var n = 0L
+                it.foreach(r => if (r.getBoolean(0)) n += 1)
+                Iterator.single((i, n))
+              }.collect().sortBy(_._1).map(_._2)
+              val total = perPart.sum
+              if (total <= rem) {
+                pathBudget = pathBudget.updated(k, rem - total)
+                cur = matches.drop("__m")
+              } else {
+                val cums = perPart.scanLeft(0L)(_ + _) // cums(p) = matches before partition p
+                val pStar = cums.indexWhere(_ > rem) - 1 // partition holding the first rejected match
+                val allowance = rem - cums(pStar)
+                val cutoff = flags.rdd.mapPartitionsWithIndex { (i, it) =>
+                  if (i != pStar) Iterator.empty
+                  else {
+                    var seen = 0L
+                    it.flatMap { r =>
+                      if (!r.getBoolean(0)) None
+                      else { seen += 1; if (seen == allowance + 1) Some(r.getLong(1)) else None }
+                    }
+                  }
+                }.collect().head // one job; take(1) would probe partitions incrementally
+                pathBudget = pathBudget.updated(k, 0L)
+                cur = matches.filter(!col("__m") || col("__grank") < lit(cutoff)).drop("__m")
+              }
             }
             alive = cur.drop("__prefixes")
           }
-          admitted = alive.drop("__grank")
+          admitted =
+            if (smExempt) alive.drop("__grank").unionByName(polAdmitted.filter(exemptCond))
+            else alive.drop("__grank")
         }
 
         // 6. mark admitted as seen (insert at admission, `insert_link`
@@ -668,7 +785,9 @@ class CrawlEngine(
         //    extraction — `modify_selectors` `page.rs:4736-4747`.)
         // host-hash partitioning WITH salt (north rule D4): a hot host that
         // dominates the frontier would otherwise pin one task; the salt
-        // spreads each host over up to 16 tasks while keeping host affinity.
+        // width scales with the host's admitted share this epoch (see
+        // admitCountAndBloom) — cold hosts keep a 16-way spread (affinity),
+        // hot hosts fan out toward 4P.
         // Politeness quotas were already enforced upstream, so fetch order
         // within a salt shard is pure priority emission — unless
         // `roundRobin` (D5, reference `UrlFrontier::pop` frontier.rs:78-121):
@@ -681,8 +800,13 @@ class CrawlEngine(
                 .orderBy(col("priority").desc, col("depth"), col("discovery_seq"), col("url"))
               admittedDs.withColumn("__rr", row_number().over(rrW))
             } else admittedDs.toDF().withColumn("__rr", lit(0))
+          val saltWidth: org.apache.spark.sql.Column =
+            if (hotHostWidths.isEmpty) lit(16L)
+            else hotHostWidths.foldLeft(`when`(lit(false), lit(16L))) {
+              case (acc, (h, w)) => acc.when(col("host") === lit(h), lit(w.toLong))
+            }.otherwise(lit(16L))
           base
-            .repartition(math.max(1, P), col("host"), pmod(xxhash64(col("url")), lit(16)))
+            .repartition(math.max(1, P), col("host"), pmod(xxhash64(col("url")), saltWidth))
             .sortWithinPartitions(col("__rr"), col("priority").desc, col("depth"),
               col("discovery_seq"), col("url"))
             .drop("__rr")
@@ -705,16 +829,21 @@ class CrawlEngine(
             .map(_.f_final_url).take(1)
           if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
           val sc = scope
-          fetched.mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
+          val lrw = onLinkFind.orNull
+          fetched.mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep, lrw)))
             .write.parquet(parsedPath)
         } else {
           val sc = scope
+          val lrw = onLinkFind.orNull
+          // delta files are transient working state (read back once, column-
+          // pruned); skip the codec — on node-local disk the compression CPU
+          // costs more than the bytes it saves
           timed("fetch_parse")(fetcher.fetch(spark, fetchReady)
-            .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep)))
-            .write.parquet(parsedPath))
+            .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep, lrw)))
+            .write.option("compression", "none").parquet(parsedPath))
         }
-        val parsed: Dataset[ParsedPage] =
-          timed("parsed_read")(spark.read.parquet(parsedPath).as[ParsedPage])
+        val parsed: Dataset[ParsedPage] = timed("parsed_read")(
+          spark.read.schema(CrawlEngine.parsedSchema).parquet(parsedPath).as[ParsedPage])
 
         // reactive throttling (B9): 429 Retry-After reduces the host's rate
         // (reference `DomainRateLimiter::throttle` rate_limiter.rs:121-137 —
@@ -727,12 +856,9 @@ class CrawlEngine(
             avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"))
             .collect()
           val drained = signals.filter(_.getLong(1) > 0)
-          if (drained.nonEmpty) {
-            drained.foreach(r => throttleOverrideMs.put(r.getString(0), Long.box(r.getLong(1))))
-            val drainedHosts = drained.map(_.getString(0)).toSeq
-            hostTokens = hostTokens.withColumn("tokens_milli",
-              when(col("host").isInCollection(drainedHosts), lit(0L))
-                .otherwise(col("tokens_milli")))
+          drained.foreach { r =>
+            throttleOverrideMs.put(r.getString(0), Long.box(r.getLong(1)))
+            hostTokensMap.put(r.getString(0), Long.box(0L)) // bucket drained
           }
           if (config.autoThrottle) {
             val alpha = config.autoThrottleAlpha
@@ -775,7 +901,20 @@ class CrawlEngine(
           case Some(veto) => parsed.filter(veto) // B11: vetoed pages don't expand
           case None => parsed
         }).toDF()
-        if (config.normalize) {
+        if (chainStarted) {
+          // chain phase: ONLY sitemap docs expand — their <loc> entries
+          // plus recursive <sitemapindex> locs; entry pages are recorded
+          // but never expanded ("does not re-crawl the links of the pages
+          // found on the sitemap", `website.rs:11601`). The sitemap XML
+          // bypasses signature dedup (the reference parses it inline — it
+          // never enters the page channel).
+          val isSm = lower(col("url")).isInCollection(chainSitemapLower.toSeq)
+          val nested = parsed.toDF().filter(isSm)
+            .select(explode(col("sitemap_links")).as("u")).as[String].collect()
+          expanding = expanding.filter(col("status") === 200 && isSm)
+            .withColumn("links", concat(col("links"), col("sitemap_links")))
+          chainSitemapLower ++= nested.map(_.toLowerCase(java.util.Locale.ROOT))
+        } else if (config.normalize) {
           val sigOk = expanding.filter(col("status") === 200 && col("signature") =!= 0L)
           val sigKey = struct(col("depth"), col("discovery_seq"), col("host"), col("url"))
           val cands = sigOk.select(col("signature"), sigKey.as("__k"))
@@ -814,13 +953,39 @@ class CrawlEngine(
             col("__m.pos").as("pos"), col("__m.url").as("url"))
         val sortCols = Seq(col("p_depth"), col("p_seq"), col("pos"), col("url"))
         val parts = math.max(1, math.min(P, 200))
-        val sorted = uniq.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+        var newFrontier = spark.emptyDataset[FrontierEntry].toDF()
+        var newLinkCount = 0L
+        var uniqCk: Option[DataFrame] = None
+        if (config.smallEpochThreshold > 0 && admittedCount <= config.smallEpochThreshold) {
+          // tiny epoch: dedup output is at most admitted×fanout rows —
+          // dedup + canonical order + seq assignment complete in ONE
+          // driver job (identical order to the distributed path; the
+          // two-pass range machinery costs ~4 driver barriers that dwarf
+          // milliseconds of actual work at this size)
+          val rows = timed("links_seq")(uniq.collect())
+            .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+            .sortBy(identity)
+          newLinkCount = rows.length
+          if (rows.nonEmpty) {
+            val entries = rows.zipWithIndex.map { case ((pd, _, _, u), i) =>
+              FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
+                UrlOps.scoreUrl(u, pd + 1), 0, 0L)
+            }
+            newFrontier = spark.createDataset(entries.toIndexedSeq).toDF()
+          }
+        } else {
+        // persist the deduped link set BEFORE the range exchange: the range
+        // partitioner's sampling job otherwise recomputes the whole
+        // explode+aggregate upstream (the epoch's widest pipeline) a second
+        // time just to draw bounds; the deduped set is ~fanout× smaller
+        val uniqP = uniq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        uniqCk = Some(uniqP)
+        val sorted = uniqP.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
         val sortedRdd = timed("links_tordd")(sorted.rdd) // stable instance: shuffle reused by the frontier job
         val partCounts = timed("links_seq")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
           var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
         }.collect().sortBy(_._1).map(_._2))
-        val newLinkCount = partCounts.sum
-        var newFrontier = spark.emptyDataset[FrontierEntry].toDF()
+        newLinkCount = partCounts.sum
         if (newLinkCount > 0) {
           val offsets = partCounts.scanLeft(seqCounter)(_ + _)
           val schema = sorted.schema.add("__seq", LongType, nullable = false)
@@ -839,6 +1004,7 @@ class CrawlEngine(
             lit(0).as("attempt"),
             lit(0L).as("not_before"))
         }
+        }
         seqCounter += newLinkCount
 
         // 12. next frontier = politeness-deferred ∪ retries ∪ new links,
@@ -855,6 +1021,7 @@ class CrawlEngine(
               .filter(col("__rn") === 1).drop("__rn")
               .localCheckpoint(true))
           } else timed("frontier_ckpt")(newFrontier.localCheckpoint(true))
+        uniqCk.foreach(_.unpersist(false)) // frontier materialized — release the link cache
 
         if (retry.maxAttempts > 0) {
           val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
@@ -872,7 +1039,8 @@ class CrawlEngine(
           seenCount += admittedCount
           admittedCaches :+= admittedDs
         }
-        val frontierCount = if (carryover) frontier.count() else newLinkCount
+        readyHist = if (carryover) histOf(frontier) else Map(0L -> newLinkCount)
+        val frontierCount = readyHist.values.sum
         frontierCountPrev = frontierCount
 
         // state hygiene for long crawls: every k epochs fold the delta
@@ -897,7 +1065,7 @@ class CrawlEngine(
           newLinkCount, frontierCount, seenCount, budgetStopped,
           (System.nanoTime() - epochT0) / 1000000L)
 
-        checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokens, pages,
+        checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokensDf(), pages,
           seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
 
         epochCache.foreach(_.unpersist(false))
@@ -909,11 +1077,45 @@ class CrawlEngine(
       }
     }
 
-    CrawlResult(pages, seen, frontier, metrics.toSeq, epoch)
+    // --- A6: sitemap CHAINED AFTER the crawl (reference `crawl()` runs
+    // `crawl_concurrent` then `sitemap_crawl_chain`, `website.rs:6974-6976`)
+    // — under a budget the crawl spends first and an exhausted wildcard
+    // skips the chain entirely (`is_over_wild_budget`, `website.rs:11654`).
+    // Each seed's /sitemap.xml is injected through the inbox (full gate:
+    // seen/lists/robots — `is_allowed_budgetless`); chain epochs then run
+    // under the ordinary loop with two rule changes keyed off
+    // `chainSitemapLower`: sitemap docs are budget-exempt, and ONLY sitemap
+    // docs expand (urlset entries + recursive sitemapindex locs).
+    if (sitemapChain && !chainStarted && !budgetStopped && !shutdownRequested &&
+        System.nanoTime() < deadline && epoch < config.maxEpochs) {
+      chainStarted = true
+      val sms = seedUrls.flatMap { s =>
+        val p = UrlOps.parseCrawlBase(s)
+        if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
+      }
+      if (sms.nonEmpty) {
+        chainSitemapLower ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+          .map(_.toLowerCase(java.util.Locale.ROOT))
+        sms.foreach(inbox.add)
+        done = false
+      } else crawling = false
+    } else crawling = false
+    }
+
+    val finalPages = // the sitemap XML itself is parsed, never emitted as a page
+      if (chainSitemapLower.isEmpty) pages
+      else pages.filter(!lower(col("url")).isInCollection(chainSitemapLower.toSeq))
+    CrawlResult(finalPages, seen, frontier, metrics.toSeq, epoch)
   }
 }
 
 object CrawlEngine {
+
+  /** Static ParsedPage schema — handed to every delta read so no per-epoch
+    * footer-inference job runs.
+    */
+  val parsedSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.Encoders.product[ParsedPage].schema
 
   /** Resume a checkpointed crawl: restores frontier/seen/signatures/host
     * state/pages + driver ledger from the latest committed snapshot and
@@ -963,7 +1165,8 @@ object CrawlEngine {
   /** One-pass parse of a fetched document: metadata + signature + validated
     * links (C1/C2/C3/C4 fused, like the reference's single rewriter pass).
     */
-  def parsePage(f: FetchResult, scope: ScopeState, epoch: Long): ParsedPage = {
+  def parsePage(f: FetchResult, scope: ScopeState, epoch: Long,
+      linkRewrite: String => String = null): ParsedPage = {
     val spans = if (f.f_spans == null) Array.empty[Span] else f.f_spans
     var title: String = null
     var desc: String = null
@@ -983,6 +1186,7 @@ object CrawlEngine {
       i += 1
     }
     val links = scala.collection.mutable.ArrayBuffer.empty[String]
+    val smLinks = scala.collection.mutable.ArrayBuffer.empty[String]
     if (f.f_status == 200) {
       // "/"-rooted hrefs resolve against the PAGE's own root (the reference
       // resolves against `domain_parsed`, its single crawl root — identical
@@ -996,20 +1200,25 @@ object CrawlEngine {
       while (i < sorted.length) {
         val s = sorted(i)
         val isLink = s.kind == "link" || (scope.fullResources && ResourceKinds.contains(s.kind))
-        if (isLink && s.media_ref != null) {
+        val isSitemap = s.kind == "sitemap"
+        if ((isLink || isSitemap) && s.media_ref != null) {
           val v = UrlOps.validateLink(
             pageUrl = f.f_final_url, crawlBase = pageRoot, baseHref = baseHref,
             href = s.media_ref, subMatcher = scope.subMatcher, parentHost = scope.parentHost,
             parentScheme = scope.parentScheme, redirectHost = scope.redirectHost,
             externalDomains = scope.externalDomains, fullResources = scope.fullResources)
-          if (v != null) links += v
+          if (v != null) {
+            if (isSitemap) smLinks += v
+            else links += (if (linkRewrite == null) v else linkRewrite(v))
+          }
         }
         i += 1
       }
     }
     val sig = signatureOf(spans)
     ParsedPage(f.url, f.f_final_url, f.host, f.depth, f.discovery_seq, f.priority,
-      f.attempt, epoch, f.f_status, sig, title, desc, og, spans, links.distinct.toArray,
-      f.f_retry_after_ms, f.f_latency_ms)
+      f.attempt, epoch, f.f_status, sig, title, desc, og, f.f_charset, f.f_etag,
+      spans, links.distinct.toArray,
+      f.f_retry_after_ms, f.f_latency_ms, smLinks.distinct.toArray)
   }
 }

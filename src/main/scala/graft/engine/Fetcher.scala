@@ -23,7 +23,13 @@ final case class FetchResult(
     f_retry_after_ms: Long = 0L,
     /** response latency, ms — drives the latency-EMA auto-throttle
       * (reference `auto_throttle.rs`). */
-    f_latency_ms: Long = 0L
+    f_latency_ms: Long = 0L,
+    /** response charset (reference `page.rs:3849-3870` detection chain;
+      * surfaced as a page column — C9). */
+    f_charset: String = null,
+    /** server ETag (reference `utils/etag_cache.rs`, applied
+      * `website.rs:7979-7990`; conditional-revalidation key — C9). */
+    f_etag: String = null
 )
 
 /** The pluggable fetch stage — the engine's re-expression of the
@@ -60,7 +66,8 @@ final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) exte
         else if (doc.status >= 300 && doc.status < 400)
           FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat) // too many redirects
         else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
-          if (doc.status == 429) CorpusGen.retryAfterMsFor(p, url) else 0L, lat)
+          if (doc.status == 429) CorpusGen.retryAfterMsFor(p, url) else 0L, lat,
+          doc.charset, if (doc.status == 200) CorpusGen.etagFor(p, url) else null)
       }
     }
   }
@@ -107,9 +114,12 @@ final class TableFetcher(docs: DataFrame, redirectLimit: Int = 7) extends Fetche
       .withColumn("f_spans", coalesce(col("f_spans"),
         array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>")))
       .drop("redirect_to")
-      // corpus tables carry no header sidecars — no Retry-After / latency
+      // corpus tables carry no header sidecars — no Retry-After / latency /
+      // charset / etag
       .withColumn("f_retry_after_ms", lit(0L))
       .withColumn("f_latency_ms", lit(0L))
+      .withColumn("f_charset", lit(null).cast("string"))
+      .withColumn("f_etag", lit(null).cast("string"))
       .as[FetchResult]
   }
 }

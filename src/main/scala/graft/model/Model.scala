@@ -91,6 +91,10 @@ final case class PageRow(
     title: String,
     description: String,
     og_image: String,
+    /** response charset (reference `page.rs:3849-3870`) — C9. */
+    charset: String,
+    /** server ETag (reference `utils/etag_cache.rs`) — C9. */
+    etag: String,
     spans: Array[Span]
 )
 
@@ -137,7 +141,12 @@ final case class CrawlConfig(
     // long-crawl state hygiene: every k epochs compact seen/signature
     // deltas into one checkpointed table and rebuild ONE bloom, keeping
     // per-epoch gate cost flat over thousands of epochs
-    stateCompactionEpochs: Int = 16
+    stateCompactionEpochs: Int = 16,
+    // epochs admitting at most this many URLs assign link sequence numbers
+    // driver-side in one job instead of the distributed two-pass (identical
+    // canonical order; the two-pass costs ~4 driver barriers that dwarf the
+    // milliseconds of work at this size). 0 disables the fast path.
+    smallEpochThreshold: Int = 4096
 ) {
   /** Effective wildcard budgeting flag (`determine_limits` `website.rs:14068-14075`). */
   def wildCardBudgeting: Boolean = budget.contains("*")

@@ -34,7 +34,10 @@ object OracleCrawler {
 
   def crawl(params: CorpusParams, config: CrawlConfig, robots: RobotsProvider,
       seedUrls: Seq[String],
-      retryPolicy: Option[graft.engine.RetryPolicy] = None): OracleResult = {
+      retryPolicy: Option[graft.engine.RetryPolicy] = None,
+      sitemapChain: Boolean = false,
+      onLinkFind: Option[String => String] = None): OracleResult = {
+    val linkRewrite: String => String = onLinkFind.orNull
     val retry = retryPolicy.getOrElse(new graft.engine.DefaultRetryPolicy(config.retryLimit))
 
     val seed0 = UrlOps.parse(seedUrls.head)
@@ -99,7 +102,26 @@ object OracleCrawler {
     seqCounter = canonSeeds.length.toLong
 
     var done = frontier.isEmpty
+    // A6 chain mirror (engine: sitemap chained AFTER the crawl)
+    var chainStarted = false
+    val chainSm = scala.collection.mutable.Set.empty[String]
+    var pendingInbox = Vector.empty[String]
+    var crawling = true
+    while (crawling) {
     while (!done) {
+      // inbox-drain mirror: chain injection enters at epoch start
+      if (pendingInbox.nonEmpty) {
+        val drained = pendingInbox.flatMap(u => Option(UrlOps.convertAbsPath(u, u))).distinct
+        pendingInbox = Vector.empty
+        if (drained.nonEmpty) {
+          val injected = drained.zipWithIndex.map { case (u, i) =>
+            FrontierEntry(u, UrlOps.host(u), 0, seqCounter + i, UrlOps.scoreUrl(u, 0), 0, 0L)
+          }
+          seqCounter += drained.length
+          frontier = (frontier ++ injected).groupBy(_.url.toLowerCase(java.util.Locale.ROOT))
+            .values.map(_.min(canonical)).toVector
+        }
+      }
       val (ready, held) = frontier.partition(_.not_before <= epoch)
       if (ready.isEmpty) {
         epoch += 1
@@ -142,8 +164,13 @@ object OracleCrawler {
         // 5. budget in canonical order (sequential reference walk)
         var admitted = Vector.empty[FrontierEntry]
         var budgetLeftover = Vector.empty[FrontierEntry]
+        // chain: sitemap docs budget-exempt (engine mirror)
+        val (smExempt, budgetable) =
+          if (chainStarted)
+            polAdmitted.partition(e => chainSm.contains(e.url.toLowerCase(java.util.Locale.ROOT)))
+          else (Vector.empty[FrontierEntry], polAdmitted)
         if (config.wildCardBudgeting || pathBudget.nonEmpty) {
-          val inOrder = polAdmitted.sorted(canonical)
+          val inOrder = budgetable.sorted(canonical)
           val it = inOrder.iterator
           var stopped = false
           while (it.hasNext) {
@@ -178,7 +205,8 @@ object OracleCrawler {
               }
             }
           }
-        } else admitted = polAdmitted
+        } else admitted = budgetable
+        admitted = admitted ++ smExempt
 
         // 6. mark seen; 7. fetch (same generative fetcher semantics)
         admitted.foreach(e => seen += e.url.toLowerCase(java.util.Locale.ROOT))
@@ -194,7 +222,8 @@ object OracleCrawler {
           else if (doc.status >= 300 && doc.status < 400)
             FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat)
           else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
-            if (doc.status == 429) CorpusGen.retryAfterMsFor(params, url) else 0L, lat)
+            if (doc.status == 429) CorpusGen.retryAfterMsFor(params, url) else 0L, lat,
+            doc.charset, if (doc.status == 200) CorpusGen.etagFor(params, url) else null)
         }
 
         // 7b. reactive throttling mirror: 429 Retry-After reduces the host's
@@ -236,7 +265,7 @@ object OracleCrawler {
         }
 
         // 9b. parse (same pure function as the engine)
-        val parsed = keep.map(f => CrawlEngine.parsePage(f, scope, epoch))
+        val parsed = keep.map(f => CrawlEngine.parsePage(f, scope, epoch, linkRewrite))
         parsed.foreach { p =>
           pages += OraclePage(p.url, p.final_url, p.host, p.depth, p.discovery_seq,
             p.epoch, p.status, p.signature, p.links.toSeq)
@@ -244,7 +273,17 @@ object OracleCrawler {
 
         // 10. signature dedup: canonical-first page per NEW signature expands
         val expanding =
-          if (config.normalize) {
+          if (chainStarted) {
+            // chain: only sitemap docs expand (urlset <loc>s + recursive
+            // sitemapindex locs); entry pages never expand; signature
+            // dedup bypassed for the sitemap XML (engine mirror)
+            val smDocs = parsed.filter(p =>
+              p.status == 200 && chainSm.contains(p.url.toLowerCase(java.util.Locale.ROOT)))
+            val out = smDocs.map(p => p.copy(links = p.links ++ p.sitemap_links))
+            smDocs.flatMap(_.sitemap_links)
+              .foreach(u => chainSm += u.toLowerCase(java.util.Locale.ROOT))
+            out
+          } else if (config.normalize) {
             val ok = parsed.filter(p => p.status == 200 && p.signature != 0L)
             val newSigPages = ok.filter(p => !sigs.contains(p.signature))
             val firstPerSig = newSigPages.groupBy(_.signature).values
@@ -279,7 +318,26 @@ object OracleCrawler {
       }
     }
 
-    OracleResult(pages.result().sortBy(p => (p.depth, p.seq, p.host, p.url)),
+    // chain transition (engine mirror): sitemap walk AFTER the crawl,
+    // skipped when the wildcard budget is already exhausted
+    if (sitemapChain && !chainStarted && !budgetStopped && epoch < config.maxEpochs) {
+      chainStarted = true
+      val sms = seedUrls.flatMap { s =>
+        Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = "/sitemap.xml").serialize)
+      }
+      if (sms.nonEmpty) {
+        chainSm ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+          .map(_.toLowerCase(java.util.Locale.ROOT))
+        pendingInbox ++= sms
+        done = false
+      } else crawling = false
+    } else crawling = false
+    }
+
+    OracleResult(
+      pages.result() // the sitemap XML itself is parsed, never emitted as a page
+        .filterNot(p => chainSm.contains(p.url.toLowerCase(java.util.Locale.ROOT)))
+        .sortBy(p => (p.depth, p.seq, p.host, p.url)),
       seen.toSet, frontier, epoch)
   }
 }

@@ -187,6 +187,27 @@ class ControlSpec extends AnyFunSuite {
     assert(checked > 0, "no multi-row shards captured")
   }
 
+  test("on_link_find_callback rewrites links identically in engine and oracle (website.rs:1253)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // rewrite: redirect every link to p1.html onto p2.html at find time
+    val rewrite: String => String = u =>
+      if (u.endsWith("/p1.html")) u.stripSuffix("/p1.html") + "/p2.html" else u
+    val cfg = CrawlConfig(maxEpochs = 20)
+    val er = new CrawlEngine(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), expectedUrls = 10000,
+      onLinkFind = Some(rewrite)).crawl(Seq("https://www.site0.com/"))
+    val or = graft.oracle.OracleCrawler.crawl(params, cfg, new CorpusRobots(params),
+      Seq("https://www.site0.com/"), onLinkFind = Some(rewrite))
+    val eSeen = er.seen.collect().map(_.getString(0)).toSet
+    assert(eSeen == or.seen, s"rewrite parity broke: ${(eSeen -- or.seen).take(3)} / ${(or.seen -- eSeen).take(3)}")
+    // the rewrite is observable: p1 never crawled (seed aside), p2 is
+    assert(!eSeen.exists(_.endsWith("/p1.html")), "rewritten-away URL was crawled")
+    assert(eSeen.exists(_.endsWith("/p2.html")))
+    val plain = graft.oracle.OracleCrawler.crawl(params, cfg, new CorpusRobots(params),
+      Seq("https://www.site0.com/"))
+    assert(plain.seen.exists(_.endsWith("/p1.html")), "control: p1 reachable without rewrite")
+  }
+
   test("pluggable RetryPolicy overrides the ladder (retry_strategy.rs:24-70)") {
     spark.sparkContext.setLogLevel("ERROR")
     import org.apache.spark.sql.Column

@@ -56,6 +56,15 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     assertParity(er, or)
   }
 
+  test("distributed two-pass seq path (smallEpochThreshold=0) equals the fast path and oracle") {
+    val params = CorpusParams(hosts = 3, pagesPerHost = 60)
+    // force the distributed range-partition path on a small corpus; the
+    // default fast path is covered by every other test here
+    val (er, or) = run(params, CrawlConfig(maxEpochs = 30, smallEpochThreshold = 0),
+      Seq("https://www.site1.com/"))
+    assertParity(er, or)
+  }
+
   test("case-variant URLs fetched exactly once (test_link_duplicates shape)") {
     val params = CorpusParams(hosts = 2, pagesPerHost = 40)
     val (er, or) = run(params, CrawlConfig(maxEpochs = 30), Seq("https://www.site0.com/"))
@@ -223,6 +232,41 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     // crawl must take at least ~1.5x epochs vs pages fetched
     assert(or.epochs.toDouble >= or.pages.size * 1.5,
       s"Request-rate unenforced: ${or.epochs} epochs for ${or.pages.size} pages")
+  }
+
+  test("sitemap chained AFTER crawl: recursion + budget ordering equal oracle (website.rs:6975)") {
+    // orphanEvery=5: pages p%5==2 have no inbound links — reachable ONLY
+    // via the sitemaps (p=12,27,... in /sitemap.xml; p=22,57 only in the
+    // nested /sitemap-deep.xml)
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5)
+    val cfg = CrawlConfig(maxEpochs = 60)
+    spark.sparkContext.setLogLevel("ERROR")
+    val robots = new CorpusRobots(params)
+    def engineRun(c: CrawlConfig) = new CrawlEngine(spark, c, new GenerativeFetcher(params),
+      robots, expectedUrls = 100000L).crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    def oracleRun(c: CrawlConfig) =
+      OracleCrawler.crawl(params, c, robots, Seq("https://www.site0.com/"), sitemapChain = true)
+    val (er, or) = (engineRun(cfg), oracleRun(cfg))
+    assertParity(er, or)
+    // recursion: the nested /sitemap-deep.xml was walked (in seen) and
+    // contributed a page only it lists (p1 + 7k offsets beyond crawl reach)
+    assert(or.seen.exists(_.endsWith("/sitemap-deep.xml")), "nested sitemap not walked")
+    val plain = OracleCrawler.crawl(params, cfg, robots, Seq("https://www.site0.com/"))
+    assert(or.pages.size > plain.pages.size, "sitemap chain added no pages")
+    // deep-only orphan p=22 proves the recursive index walk fetched entries
+    assert(or.pages.exists(_.url.endsWith(graft.corpus.CorpusGen.pagePath(22L))),
+      "nested-sitemap-only page not crawled")
+    // sitemap XML docs are parsed, never emitted as pages
+    assert(!or.pages.exists(_.url.contains("sitemap")), "sitemap XML emitted as a page")
+    // budget ordering: the crawl phase spends the wildcard budget FIRST —
+    // with a budget smaller than the crawl's natural page count, the chain
+    // contributes nothing and the page set equals the plain budgeted crawl
+    val bCfg = CrawlConfig(budget = Map("*" -> 8), maxEpochs = 60)
+    val (erB, orB) = (engineRun(bCfg), oracleRun(bCfg))
+    assertParity(erB, orB)
+    val plainB = OracleCrawler.crawl(params, bCfg, robots, Seq("https://www.site0.com/"))
+    assert(orB.pages.map(_.url).toSet == plainB.pages.map(_.url).toSet,
+      "budget-exhausted crawl must skip the sitemap chain (is_over_wild_budget)")
   }
 
   test("state compaction preserves exact semantics across the fold boundary") {

@@ -305,10 +305,25 @@ class CrawlEngine(
     // a group — never one giant filter (SURVEY §7 risk note). Held as
     // serialized bytes; executors deserialize lazily via BloomGroup. ---
     var blooms = Vector.empty[Array[Byte]]
-    // State tables accumulate as per-epoch DELTAS (each localCheckpointed
-    // once) — unioning cached deltas is O(1) per epoch, where re-checkpointing
-    // a growing table every epoch would be O(total) per epoch (quadratic).
-    var seenDeltas = Vector.empty[DataFrame]
+    // B1 authoritative URL-seen store — the north rule's PARTITIONED
+    // membership check: (url_lower, url) pairs hash-partitioned ONCE and
+    // probed by shuffling only the epoch's maybe-seen candidates to the
+    // matching partitions, where a per-partition exact hash set answers
+    // membership (exact ⊃ the north star's per-partition cuckoo filter —
+    // same contract, authoritative). The seen side is NEVER re-shuffled
+    // and NEVER broadcast (round 2 broadcast the maybe-seen set AND its
+    // hits — both epoch-sized, a driver round-trip pair per epoch that a
+    // 10^10 frontier cannot afford). Deltas append co-partitioned through
+    // a partitioner-aware union; every k epochs the chain is
+    // localCheckpoint-compacted — distributed, lineage-flat, no driver
+    // funnel. Partition count sizes each partition's set to executor
+    // memory at the target scale.
+    val seenPartitioner = new org.apache.spark.HashPartitioner(math.max(P, 16))
+    var seenRdd: org.apache.spark.rdd.RDD[(String, String)] =
+      spark.sparkContext.emptyRDD[(String, String)].partitionBy(seenPartitioner)
+    var seenRddEpochs = 0 // deltas since last compaction
+    var seenBase: Option[org.apache.spark.rdd.RDD[(String, String)]] = None
+    // signature tables still accumulate as per-epoch DELTAS (lazy reroots)
     var sigDeltas = Vector.empty[DataFrame]
     // persisted admitted sets backing the lazy seen deltas (released at
     // compaction)
@@ -330,7 +345,9 @@ class CrawlEngine(
     val emptySeen = spark.emptyDataset[(String, String)].toDF("url_lower", "url")
     val emptySigs = spark.emptyDataset[Long].toDF("sig")
     val emptyPages = spark.emptyDataset[PageRow].toDF()
-    def seen: DataFrame = if (seenDeltas.isEmpty) emptySeen else seenDeltas.reduce(_ unionByName _)
+    val seenSchema = emptySeen.schema
+    def seen: DataFrame =
+      spark.createDataFrame(seenRdd.map(kv => Row(kv._1, kv._2)), seenSchema)
     def signatures: DataFrame = if (sigDeltas.isEmpty) emptySigs else sigDeltas.reduce(_ unionByName _)
     // The pages view is ONE relation over the sink directory (never a
     // per-epoch union: a thousand-epoch crawl would otherwise build a
@@ -428,8 +445,9 @@ class CrawlEngine(
       total
     }
 
-    // resume path: rebuild one bloom from the restored seen table
-    def bloomFromSeen(urlLower: Dataset[String], expected: Long): Unit = {
+    // resume/compaction path: rebuild one bloom from the seen store (a
+    // distributed scan — each partition builds its shard, driver ORs them)
+    def bloomFromSeen(urlLower: org.apache.spark.rdd.RDD[String], expected: Long): Unit = {
       if (expected <= 0) return
       val size = math.max(1024L, expected)
       val parts = urlLower.mapPartitions { it =>
@@ -468,14 +486,18 @@ class CrawlEngine(
       val e = ck.latestEpoch()
       if (e >= 0) {
         frontier = ck.readTable(e, "frontier").localCheckpoint(true)
-        seenDeltas = Vector(ck.readTable(e, "seen").localCheckpoint(true))
+        seenRdd = ck.readTable(e, "seen").rdd
+          .map(r => (r.getString(0), r.getString(1)))
+          .partitionBy(seenPartitioner)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        seenBase = Some(seenRdd)
         sigDeltas = Vector(ck.readTable(e, "signatures").localCheckpoint(true))
         restoredPages = Some(ck.readTable(e, "pages").localCheckpoint(true))
         ck.readTable(e, "host_tokens").collect()
           .foreach(r => hostTokensMap.put(r.getString(0), Long.box(r.getLong(1))))
-        seenCount = seenDeltas.head.count()
+        seenCount = seenRdd.count()
         blooms = Vector.empty
-        bloomFromSeen(seenDeltas.head.select(col("url_lower")).as[String], seenCount)
+        bloomFromSeen(seenRdd.map(_._1), seenCount)
         val m = ck.readManifest(e)
         def longField(k: String): Option[Long] =
           ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
@@ -593,17 +615,26 @@ class CrawlEngine(
           shutdownRequested || System.nanoTime() > deadline) done = true
       } else timed("epoch_total") {
         // 1. B1 visited: bloom fast-negative (codegen expression over the
-        //    broadcast filter group — no UDF on the hot path), broadcast
-        //    semi-join for the rest; the big `seen` side is scanned but
-        //    never shuffled.
+        //    broadcast filter group — no UDF on the hot path); the
+        //    maybe-seen residue shuffles to the seen store's partitions
+        //    where a per-partition exact set answers membership. The seen
+        //    side is scanned in place — never re-shuffled, never broadcast.
         val withLower = ready.withColumn("url_lower", lower(col("url")))
         val bloomGroup = timed("bloom_bcast")(new BloomGroup(spark.sparkContext.broadcast(blooms)))
         val mightContain = enginefns.bloom_might_contain(col("url_lower"), bloomGroup)
         val definitelyNew = withLower.filter(!mightContain)
         val maybeSeen = withLower.filter(mightContain)
-        val hits = seen.join(broadcast(maybeSeen.select(col("url_lower")).distinct()), Seq("url_lower"), "left_semi")
-        val unseen = definitelyNew.unionByName(
-          maybeSeen.join(broadcast(hits), Seq("url_lower"), "left_anti"))
+        val lowerIdx = withLower.schema.fieldIndex("url_lower")
+        val unseenMaybe = spark.createDataFrame(
+          maybeSeen.rdd.map(r => (r.getString(lowerIdx), r))
+            .partitionBy(seenPartitioner)
+            .zipPartitions(seenRdd) { (cit, sit) =>
+              val set = new java.util.HashSet[String]()
+              while (sit.hasNext) set.add(sit.next()._1)
+              cit.collect { case (k, r) if !set.contains(k) => r }
+            },
+          withLower.schema)
+        val unseen = definitelyNew.unionByName(unseenMaybe)
 
         // 2. B8 batch dedup (case-insensitive keep canonical-min, the
         //    frontier HashSet semantics `website.rs:7810`) is STRUCTURAL:
@@ -1023,37 +1054,48 @@ class CrawlEngine(
           } else timed("frontier_ckpt")(newFrontier.localCheckpoint(true))
         uniqCk.foreach(_.unpersist(false)) // frontier materialized — release the link cache
 
-        if (retry.maxAttempts > 0) {
+        // append the epoch's seen delta CO-PARTITIONED: map side runs once
+        // (shuffle files reused by every later probe), union is
+        // partitioner-aware (no data movement of the base)
+        val deltaRdd = if (retry.maxAttempts > 0) {
           val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
-          seenDeltas :+= seenDeltaCk
           seenCount += seenDeltaCk.count()
           // every consumer of the admitted cache (bloom, fetch, seen delta)
           // has materialized — release it NOW (leaving one cached plan per
           // epoch alive OOMs the driver on multi-hundred-epoch crawls)
           admittedDs.unpersist(false)
+          seenDeltaCk.rdd.map(r => (r.getString(0), r.getString(1)))
         } else {
-          // lineage-truncating lazy delta over the persisted admitted set —
-          // zero extra jobs (GraftSqlBridge.rerootOnRdd)
-          seenDeltas :+= timed("seen_reroot")(
-            org.apache.spark.sql.GraftSqlBridge.rerootOnRdd(seenDelta))
+          // lazy delta over the persisted admitted set — zero extra jobs
           seenCount += admittedCount
           admittedCaches :+= admittedDs
+          timed("seen_reroot")(seenDelta.rdd).map(r => (r.getString(0), r.getString(1)))
         }
+        seenRdd = spark.sparkContext.union(seenRdd, deltaRdd.partitionBy(seenPartitioner))
+        seenRddEpochs += 1
         readyHist = if (carryover) histOf(frontier) else Map(0L -> newLinkCount)
         val frontierCount = readyHist.values.sum
         frontierCountPrev = frontierCount
 
-        // state hygiene for long crawls: every k epochs fold the delta
-        // chains into ONE checkpointed table each and rebuild ONE bloom
-        // sized to the whole seen set — per-epoch gate cost stays flat over
-        // thousands of epochs instead of growing with crawl age
-        if (seenDeltas.size >= math.max(2, config.stateCompactionEpochs)) {
-          val compactedSeen = timed("seen_compact")(seen.localCheckpoint(true))
+        // state hygiene for long crawls: every k epochs fold the
+        // co-partitioned delta chain flat (localCheckpoint — distributed,
+        // partitioner preserved, no driver funnel) and rebuild ONE bloom
+        // sized to the whole seen set via a distributed shard scan —
+        // per-epoch gate cost stays flat over thousands of epochs
+        if (seenRddEpochs >= math.max(2, config.stateCompactionEpochs)) {
+          timed("seen_compact") {
+            val c = seenRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            c.localCheckpoint()
+            c.count()
+            seenBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
+            seenBase = Some(c)
+            seenRdd = c
+            seenRddEpochs = 0
+          }
           blooms = Vector.empty
-          bloomFromSeen(compactedSeen.select(col("url_lower")).as[String], math.max(1L, seenCount))
+          bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
           admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
           admittedCaches = Vector.empty
-          seenDeltas = Vector(compactedSeen)
           if (sigDeltas.size > 1) {
             val compactedSigs = timed("sig_compact")(signatures.localCheckpoint(true))
             sigDeltas.foreach(d => try d.unpersist() catch { case _: Throwable => })

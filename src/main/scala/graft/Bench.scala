@@ -29,9 +29,21 @@ object Bench {
 
   private def session(cpus: Int, shufflePartitions: Int = 0): SparkSession = {
     val parts = if (shufflePartitions > 0) shufflePartitions else cpus
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the master — e.g. `local-cluster[4,4,8192]`
+    // runs 4 separate executor JVMs of 4 cores each: the closest local
+    // stand-in for "4 executors" (per-executor heaps/GC isolated, one
+    // scheduler), vs local[16]'s single shared JVM
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", parts.toString)
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.extraClassPath", System.getProperty("java.class.path"))
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXECUTOR_MEM", "8g"))
+    }
+    val spark = builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")

@@ -86,11 +86,12 @@ final case class CrawlResult(
   *   admit(candidates) = politeness ∘ budget ∘ depth ∘ robots ∘ lists ∘ seen
   *   fetch → parse spans → signature-dedup → extract links → append tables
   *
-  * Scale design (north rule): the `seen` set is NEVER shuffled — candidates
-  * are pre-filtered through a driver-merged Bloom (fast-negative, the
-  * reference's `MmapBloom` contract `utils/bloom.rs:54-98`), and the
-  * maybe-seen残 subset resolves through a broadcast semi-join against the
-  * partitioned seen table. Fetch order is the priority queue realized as
+  * Scale design (north rule): the `seen` set is NEVER re-shuffled and
+  * never broadcast — candidates are pre-filtered through a driver-merged
+  * Bloom group (fast-negative, the reference's `MmapBloom` contract
+  * `utils/bloom.rs:54-98`), and the maybe-seen residue shuffles to the
+  * hash-partitioned seen store where a per-partition exact set answers
+  * membership authoritatively. Fetch order is the priority queue realized as
   * repartition(host) + secondary sort (desc priority, depth, discovery_seq,
   * url). Determinism: the canonical total order `(depth, discovery_seq,
   * host, url)` (SURVEY D6) drives budget admission and discovery_seq
@@ -323,8 +324,14 @@ class CrawlEngine(
       spark.sparkContext.emptyRDD[(String, String)].partitionBy(seenPartitioner)
     var seenRddEpochs = 0 // deltas since last compaction
     var seenBase: Option[org.apache.spark.rdd.RDD[(String, String)]] = None
-    // signature tables still accumulate as per-epoch DELTAS (lazy reroots)
-    var sigDeltas = Vector.empty[DataFrame]
+    // C5 signature store — same co-partitioned shape as the seen store:
+    // 64-bit signatures hash-partitioned once, probed by shuffling only
+    // the epoch's candidate signatures, deltas unioned partitioner-aware
+    var sigRdd: org.apache.spark.rdd.RDD[(Long, Boolean)] =
+      spark.sparkContext.emptyRDD[(Long, Boolean)].partitionBy(seenPartitioner)
+    var sigRddEpochs = 0
+    var sigBase: Option[org.apache.spark.rdd.RDD[(Long, Boolean)]] = None
+    var sigWinnerCaches = Vector.empty[DataFrame]
     // persisted admitted sets backing the lazy seen deltas (released at
     // compaction)
     var admittedCaches = Vector.empty[Dataset[FrontierEntry]]
@@ -348,7 +355,9 @@ class CrawlEngine(
     val seenSchema = emptySeen.schema
     def seen: DataFrame =
       spark.createDataFrame(seenRdd.map(kv => Row(kv._1, kv._2)), seenSchema)
-    def signatures: DataFrame = if (sigDeltas.isEmpty) emptySigs else sigDeltas.reduce(_ unionByName _)
+    val sigSchema = emptySigs.schema
+    def signatures: DataFrame =
+      spark.createDataFrame(sigRdd.map(kv => Row(kv._1)), sigSchema)
     // The pages view is ONE relation over the sink directory (never a
     // per-epoch union: a thousand-epoch crawl would otherwise build a
     // thousand-way union plan whose canonicalization alone OOMs the driver)
@@ -491,7 +500,10 @@ class CrawlEngine(
           .partitionBy(seenPartitioner)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         seenBase = Some(seenRdd)
-        sigDeltas = Vector(ck.readTable(e, "signatures").localCheckpoint(true))
+        sigRdd = ck.readTable(e, "signatures").rdd.map(r => (r.getLong(0), true))
+          .partitionBy(seenPartitioner)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigBase = Some(sigRdd)
         restoredPages = Some(ck.readTable(e, "pages").localCheckpoint(true))
         ck.readTable(e, "host_tokens").collect()
           .foreach(r => hostTokensMap.put(r.getString(0), Long.box(r.getLong(1))))
@@ -950,18 +962,26 @@ class CrawlEngine(
           val sigKey = struct(col("depth"), col("discovery_seq"), col("host"), col("url"))
           val cands = sigOk.select(col("signature"), sigKey.as("__k"))
             .groupBy(col("signature")).agg(min(col("__k")).as("__k"))
-          val hits = signatures.join(broadcast(cands.select(col("signature").as("sig"))),
-            Seq("sig"), "left_semi")
-          val newWinners = cands.join(broadcast(hits), col("signature") === col("sig"), "left_anti")
+          // probe the co-partitioned signature store: only the epoch's
+          // candidate signatures shuffle; the store is scanned in place
+          // (round 2 broadcast the candidate set AND its hits)
+          val candsSchema = cands.schema
+          val newWinners = timed("sig_reroot")(spark.createDataFrame(
+            cands.rdd.map(r => (r.getLong(0), r))
+              .partitionBy(seenPartitioner)
+              .zipPartitions(sigRdd) { (cit, sit) =>
+                val set = new java.util.HashSet[java.lang.Long]()
+                while (sit.hasNext) set.add(Long.box(sit.next()._1))
+                cit.collect { case (k, r) if !set.contains(Long.box(k)) => r }
+              }, candsSchema)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+          sigWinnerCaches :+= newWinners
           val firstPerSig = sigOk.withColumn("__k", sigKey)
             .join(newWinners, Seq("signature", "__k"), "left_semi").drop("__k")
-          // lazy persist of a lineage-TRUNCATED plan: without the reroot,
-          // delta N's logical plan embeds the union of all prior deltas'
-          // plans recursively (exponential plan growth — OOMs the driver on
-          // multi-hundred-epoch crawls); materialized by the next epoch's
-          // signatures scan — no dedicated checkpoint job this epoch
-          sigDeltas :+= timed("sig_reroot")(org.apache.spark.sql.GraftSqlBridge
-            .rerootOnRdd(newWinners.select(col("signature").as("sig"))).persist())
+          // delta append: lazy over the persisted winners, partitioner-aware
+          sigRdd = spark.sparkContext.union(sigRdd,
+            newWinners.rdd.map(r => (r.getLong(0), true)).partitionBy(seenPartitioner))
+          sigRddEpochs += 1
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
         } else {
@@ -1096,10 +1116,18 @@ class CrawlEngine(
           bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
           admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
           admittedCaches = Vector.empty
-          if (sigDeltas.size > 1) {
-            val compactedSigs = timed("sig_compact")(signatures.localCheckpoint(true))
-            sigDeltas.foreach(d => try d.unpersist() catch { case _: Throwable => })
-            sigDeltas = Vector(compactedSigs)
+          if (sigRddEpochs > 0) {
+            timed("sig_compact") {
+              val c = sigRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              c.localCheckpoint()
+              c.count()
+              sigBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
+              sigBase = Some(c)
+              sigRdd = c
+              sigRddEpochs = 0
+            }
+            sigWinnerCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
+            sigWinnerCaches = Vector.empty
           }
         }
 

@@ -310,9 +310,11 @@ object Bench {
       val n4 = benchN * 4
       val phaseKeys = (rN.phases.keySet ++ r4N.phases.keySet).toSeq
         .sortBy(k => -rN.phases.getOrElse(k, 0.0))
+      // rows carry a doubled leading pipe: the markdown template below is
+      // stripMargin'd, which consumes the first
       val phaseTable = phaseKeys.map { k =>
         val a = rN.phases.getOrElse(k, 0.0); val b = r4N.phases.getOrElse(k, 0.0)
-        f"| $k | $a%.1f | $b%.1f | ${a / math.max(b, 0.001)}%.2f |"
+        f"|| $k | $a%.1f | $b%.1f | ${a / math.max(b, 0.001)}%.2f |"
       }.mkString("\n")
       val phaseJson = phaseKeys.map { k =>
         f""""$k":[${rN.phases.getOrElse(k, 0.0)}%.2f,${r4N.phases.getOrElse(k, 0.0)}%.2f]"""
@@ -346,9 +348,10 @@ object Bench {
            |the ALU envelope. No code that touches memory can scale past
            |control 2 at these thread counts; process-CPU accounting below
            |shows the same work burning ${r4N.cpuS / math.max(rN.cpuS, 0.1)}%.1fx
-           |the CPU-seconds at 4N (cache-miss stalls billed as CPU), with GC
-           |<2%% in both runs — the wall is bandwidth, not garbage or idle
-           |cores. The ratio crawl/workload-control isolates what the ENGINE
+           |the CPU-seconds at 4N (cache-miss stalls billed as CPU), with the
+           |per-run GC column an order of magnitude smaller than that
+           |inflation — the wall is bandwidth, not garbage or idle cores.
+           |The ratio crawl/workload-control isolates what the ENGINE
            |adds; each node of a real cluster brings its own memory bus, which
            |is the regime the >=0.8 criterion describes.
            |
@@ -367,13 +370,13 @@ object Bench {
            |
            |## Per-phase wall time, best N vs best 4N trial (seconds)
            |
-           || phase | N | 4N | N/4N |
+           || phase | N | 4N | speedup (N÷4N; 4.0 = perfect) |
            ||---|---|---|---|
            |$phaseTable
            |
            |`epoch_total` minus the listed phases is driver-side plan/codegen
-           |work. Phases with N/4N ~1 are at the host's bandwidth wall (their
-           |absolute time tracks the workload control, not core count).
+           |work. Phases with speedup ~1 are at the host's bandwidth wall
+           |(their absolute time tracks the workload control, not core count).
            |
            |"Sustained" excludes the seed/fan-out ramp epochs, whose cost is
            |fixed driver-round latency independent of data size — at the

@@ -92,6 +92,41 @@ object SparkEntry {
     "('https://www.site0.com/p9.html',2,200,CAST(11 AS BIGINT))")
 
 
+  /** crawl_sitemap pins: the A6 chain (sitemap AFTER crawl + recursive
+    * sitemapindex walk) — orphan pages reachable only via the sitemaps pin
+    * both chain levels (scenario: Queries.SitemapScenario).
+    */
+  private[graft] val crawlSitemapRows: Seq[String] = Seq(
+    "('https://www.site0.com/',0,200)",
+    "('https://www.site0.com/p1.html',1,200)",
+    "('https://www.site0.com/legal/p28.html',1,200)",
+    "('https://www.site0.com/en/p12.html',1,200)",
+    "('https://www.site0.com/products/legal/deep/p27.html',1,200)",
+    "('https://www.site0.com/p33.html',1,200)",
+    "('https://www.site0.com/en/p36.html',1,200)",
+    "('https://www.site0.com/products/en/deep/p3.html',2,200)",
+    "('https://www.site0.com/legal/p4.html',2,200)",
+    "('https://www.site0.com/p13.html',2,200)",
+    "('https://www.site0.com/legal/products/p22.html',2,200)",
+    "('https://www.site0.com/docs/p8.html',3,200)",
+    "('https://www.site0.com/p9.html',3,200)",
+    "('https://www.site0.com/legal/fr/p10.html',3,200)",
+    "('https://www.site0.com/en/p24.html',3,200)",
+    "('https://www.site0.com/en/products/p18.html',4,200)",
+    "('https://www.site0.com/legal/items/p34.html',4,200)",
+    "('https://www.site0.com/fr/products/deep/p19.html',4,200)",
+    "('https://www.site0.com/docs/p20.html',4,200)",
+    "('https://www.site0.com/p21.html',4,200)",
+    "('https://www.site0.com/en/fr/p6.html',4,200)",
+    "('https://www.site0.com/docs/en/p38.html',5,200)",
+    "('https://www.site0.com/items/products/deep/p23.html',5,200)",
+    "('https://www.site0.com/docs/docs/p14.html',5,200)",
+    "('https://www.site0.com/products/en/deep/p39.html',5,200)",
+    "('https://www.site0.com/products/docs/deep/p15.html',5,200)",
+    "('https://www.site0.com/p29.html',6,200)",
+    "('https://www.site0.com/en/items/p30.html',6,200)",
+    "('https://www.site0.com/fr/items/deep/p31.html',6,200)")
+
   // ------------------------------------------------------------------ //
   // Oracle SQL generators for the md5-hash sketch family
   // ------------------------------------------------------------------ //
@@ -237,6 +272,7 @@ object SparkEntry {
     "crawl_basic" -> (Queries.crawlBasic _),
     "crawl_budget" -> (Queries.crawlBudget _),
     "crawl_throttle" -> (Queries.crawlThrottle _),
+    "crawl_sitemap" -> (Queries.crawlSitemapQ _),
     // multimodal plumbing
     "m_media_meta" -> (Queries.mMediaMeta _)
   )
@@ -367,6 +403,9 @@ object SparkEntry {
         ") AS t(url, depth, status)"),
     "crawl_throttle" ->
       ("SELECT * FROM (VALUES " + crawlThrottleRows.mkString(", ") +
-        ") AS t(url, depth, status, epoch)")
+        ") AS t(url, depth, status, epoch)"),
+    "crawl_sitemap" ->
+      ("SELECT * FROM (VALUES " + crawlSitemapRows.mkString(", ") +
+        ") AS t(url, depth, status)")
   )
 }

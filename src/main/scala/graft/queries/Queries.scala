@@ -291,6 +291,30 @@ object Queries {
     val seeds: Seq[String] = Seq("https://www.site0.com/")
   }
 
+  /** crawl_sitemap scenario — the A6 chain (sitemap AFTER the crawl,
+    * recursive index walk) under the driver oracle: orphan pages are
+    * reachable only via /sitemap.xml or the nested /sitemap-deep.xml, so
+    * the pinned page set proves both chain phases ran and in the right
+    * order. Shared by the query, `Drive oracledump`, and CrawlPinSpec.
+    */
+  object SitemapScenario {
+    import graft.corpus.CorpusParams
+    import graft.model.CrawlConfig
+    val params: CorpusParams =
+      CorpusParams(hosts = 1, pagesPerHost = 40, fanout = 2, orphanEvery = 5)
+    val config: CrawlConfig = CrawlConfig(maxEpochs = 40)
+    val seeds: Seq[String] = Seq("https://www.site0.com/")
+  }
+
+  def crawlSitemapQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    val s = SitemapScenario
+    val engine = new CrawlEngine(spark, s.config,
+      new GenerativeFetcher(s.params), new CorpusRobots(s.params), expectedUrls = 10000)
+    engine.crawl(s.seeds, sitemapChain = true).pages
+      .select(col("url"), col("depth"), col("status"))
+  }
+
   def crawlThrottle(spark: SparkSession, dir: String): DataFrame = {
     import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
     val s = ThrottleScenario

@@ -15,6 +15,7 @@ import org.apache.spark.sql.SparkSession
   *   [--budget '*:1000,en:100'] [--depth 8] [--respect-robots] [--subdomains]
   *   [--delay-ms 500] [--external '*'] [--checkpoint /data/ck --every 5]
   *   [--resume] [--max-epochs 100] [--hosts 16 --pages-per-host 1000]
+  *   [--sitemap]                       # chain the sitemap walk after the crawl
   * }}}
   *
   * Writes `pages/`, `seen/`, `frontier_remainder/` parquet under `--out`
@@ -79,7 +80,7 @@ object CrawlJob {
       checkpoint = ck)
     val res =
       if (a.contains("resume") && ck.isDefined) engine.crawl(seeds, ck)
-      else engine.crawl(seeds)
+      else engine.crawl(seeds, sitemapChain = a.contains("sitemap"))
 
     res.pages.write.mode("overwrite").parquet(s"$out/pages")
     res.seen.write.mode("overwrite").parquet(s"$out/seen")

@@ -46,6 +46,11 @@ object Drive {
         new CorpusRobots(ts.params), ts.seeds)
       println("THROTTLE_ROWS " + throttle.pages.map(p =>
         s"(${esc(p.url)},${p.depth},${p.status},CAST(${p.epoch} AS BIGINT))").mkString("|"))
+      val ss = graft.queries.Queries.SitemapScenario
+      val sitemap = OracleCrawler.crawl(ss.params, ss.config,
+        new CorpusRobots(ss.params), ss.seeds, sitemapChain = true)
+      println("SITEMAP_ROWS " + sitemap.pages.map(p =>
+        s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
       return
     }
     if (args.headOption.contains("throttledrive")) {

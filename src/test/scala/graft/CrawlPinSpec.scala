@@ -44,4 +44,16 @@ class CrawlPinSpec extends AnyFunSuite {
     assert(live == SparkEntry.crawlThrottleRows,
       "regenerate with: runMain graft.tools.Drive oracledump")
   }
+
+  test("crawl_sitemap pins match a live OracleCrawler run (A6 chain + recursion)") {
+    val s = graft.queries.Queries.SitemapScenario
+    val res = OracleCrawler.crawl(s.params, s.config, new CorpusRobots(s.params),
+      s.seeds, sitemapChain = true)
+    val live = res.pages.map(p => s"(${esc(p.url)},${p.depth},${p.status})")
+    assert(live == SparkEntry.crawlSitemapRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+    // the pins must contain sitemap-only pages from BOTH chain levels
+    assert(live.exists(_.contains("p12.html")), "first-level sitemap orphan missing")
+    assert(live.exists(_.contains("p22.html")), "nested-sitemap orphan missing")
+  }
 }

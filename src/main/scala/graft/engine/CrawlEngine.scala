@@ -546,9 +546,14 @@ class CrawlEngine(
     // DashMap limiters): 429/Retry-After delay overrides + latency EMAs
     val throttleOverrideMs = lruMap[java.lang.Long]()
     val latencyEma = lruMap[java.lang.Double]()
-    def overridesDf(): DataFrame = {
+    /** ONE broadcast row per host carrying ALL driver-ledger politeness
+      * state (reactive delay override ∨ auto-throttle EMA delay, and the
+      * banked token bucket) — a single join in the gate instead of two.
+      */
+    def politenessStateDf(): DataFrame = {
       import scala.jdk.CollectionConverters._
-      val hosts = (throttleOverrideMs.keySet.asScala ++ latencyEma.keySet.asScala).toSeq
+      val hosts = (throttleOverrideMs.keySet.asScala ++ latencyEma.keySet.asScala ++
+        hostTokensMap.keySet.asScala).toSet.toSeq
       val rows = hosts.map { h =>
         val thr = Option(throttleOverrideMs.get(h)).map(_.longValue).getOrElse(0L)
         val emaDelay =
@@ -558,10 +563,12 @@ class CrawlEngine(
               math.max(config.autoThrottleMinDelayMs,
                 (e.doubleValue / config.autoThrottleTargetConcurrency).toLong))
           }.getOrElse(0L)
-        (h, math.max(thr, emaDelay))
-      }.filter(_._2 > 0L)
-      if (rows.isEmpty) spark.emptyDataset[(String, Long)].toDF("host", "override_ms")
-      else spark.createDataset(rows).toDF("host", "override_ms")
+        val tokens = Option(hostTokensMap.get(h)).map(_.longValue).getOrElse(1000L)
+        (h, math.max(thr, emaDelay), tokens)
+      }
+      if (rows.isEmpty)
+        spark.emptyDataset[(String, Long, Long)].toDF("host", "override_ms", "tokens_milli")
+      else spark.createDataset(rows).toDF("host", "override_ms", "tokens_milli")
     }
     // driver-side not_before histogram of the frontier, refreshed by the
     // SAME job that counts it: per-epoch readiness (`candCount`) then needs
@@ -679,10 +686,9 @@ class CrawlEngine(
               enginefns.robots_delay_ms(col("host"), robots, config.userAgent))
           val tick = config.tickMs
           val withDelay = polAdmitted
-            .join(broadcast(overridesDf()), Seq("host"), "left")
+            .join(broadcast(politenessStateDf()), Seq("host"), "left")
             .withColumn("__delay", greatest(delayCol, coalesce(col("override_ms"), lit(0L))))
             .drop("override_ms")
-            .join(broadcast(hostTokensDf()), Seq("host"), "left")
           // floor division: the sequential mirror banks INTEGRAL
           // milli-tokens (Long division); Spark `/` is double division and
           // would bank fractional permits that drift from the oracle at

@@ -607,10 +607,7 @@ class CrawlEngine(
           }).toDF()
           seqCounter += drained.length
           // restore the frontier's unique-by-lower(url) invariant
-          val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
-          frontier = frontier.unionByName(injected)
-            .withColumn("__rn", row_number().over(fW))
-            .filter(col("__rn") === 1).drop("__rn")
+          frontier = CrawlEngine.dedupCanonicalMin(frontier.unionByName(injected))
             .localCheckpoint(true)
           readyHist = histOf(frontier)
           frontierCountPrev = readyHist.values.sum
@@ -1065,17 +1062,19 @@ class CrawlEngine(
         seqCounter += newLinkCount
 
         // 12. next frontier = politeness-deferred ∪ retries ∪ new links,
-        //     case-insensitive-deduped (D1), seen-filtered lazily next epoch.
-        //     Without carryover streams the new-link set IS the next frontier
-        //     (already unique) — no union window, no count job.
+        //     case-insensitive-deduped (D1) as a map-side-combining hash
+        //     aggregate keeping the canonical-min row (struct-min over the
+        //     canonical-order-prefixed struct — a window would shuffle and
+        //     sort every row; the aggregate combines duplicates before the
+        //     exchange). Seen-filtered lazily next epoch. Without carryover
+        //     streams the new-link set IS the next frontier (already
+        //     unique) — no dedup, no count job.
         frontier =
           if (carryover) {
             val nextFrontierAll = deferredHold.unionByName(deferred)
               .unionByName(budgetLeftover)
               .unionByName(retryDf).unionByName(newFrontier)
-            val fW = Window.partitionBy(lower(col("url"))).orderBy(canonicalOrder: _*)
-            timed("frontier_ckpt")(nextFrontierAll.withColumn("__rn", row_number().over(fW))
-              .filter(col("__rn") === 1).drop("__rn")
+            timed("frontier_ckpt")(CrawlEngine.dedupCanonicalMin(nextFrontierAll)
               .localCheckpoint(true))
           } else timed("frontier_ckpt")(newFrontier.localCheckpoint(true))
         uniqCk.foreach(_.unpersist(false)) // frontier materialized — release the link cache
@@ -1192,6 +1191,22 @@ object CrawlEngine {
     */
   val parsedSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[ParsedPage].schema
+
+  /** Case-insensitive frontier dedup keeping the canonical-min row
+    * (depth, discovery_seq, host, url) — a map-side-combining hash
+    * aggregate: struct comparison is lexicographic field-by-field and
+    * discovery_seq is globally unique, so the min struct IS the
+    * canonical-min entry with its own remaining fields attached.
+    */
+  def dedupCanonicalMin(frontier: DataFrame): DataFrame =
+    frontier
+      .groupBy(lower(col("url")).as("__lu"))
+      .agg(min(struct(col("depth"), col("discovery_seq"), col("host"), col("url"),
+        col("priority"), col("attempt"), col("not_before"))).as("__m"))
+      .select(col("__m.url").as("url"), col("__m.host").as("host"),
+        col("__m.depth").as("depth"), col("__m.discovery_seq").as("discovery_seq"),
+        col("__m.priority").as("priority"), col("__m.attempt").as("attempt"),
+        col("__m.not_before").as("not_before"))
 
   /** Resume a checkpointed crawl: restores frontier/seen/signatures/host
     * state/pages + driver ledger from the latest committed snapshot and

@@ -63,4 +63,33 @@ class ResumeSpec extends AnyFunSuite {
     val resSeen = resumed.seen.select("url_lower").collect().map(_.getString(0)).toSet
     assert(fullSeen == resSeen)
   }
+
+  test("resume ACROSS a compaction boundary of the co-partitioned stores") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // compaction every 2 epochs + politeness pacing (~8+ epochs): the
+    // interrupted run snapshots AFTER a seen/signature fold, so resume
+    // restores compacted stores and then compacts again before finishing
+    val params = CorpusParams(hosts = 2, pagesPerHost = 25, dupContentEvery = 3)
+    val cfg = CrawlConfig(delayMs = 300, tickMs = 1000, maxEpochs = 60,
+      stateCompactionEpochs = 2)
+    val full = new CrawlEngine(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), expectedUrls = 10000)
+      .crawl(Seq("https://www.site0.com/"))
+    val dir = Files.createTempDirectory("graft_ckpt3").toString
+    val ck = new Checkpointer(spark, dir, every = 1)
+    new CrawlEngine(spark, cfg.copy(maxEpochs = 5), new GenerativeFetcher(params),
+      new CorpusRobots(params), expectedUrls = 10000, checkpoint = Some(ck))
+      .crawl(Seq("https://www.site0.com/"))
+    assert(ck.latestEpoch() >= 2, "interrupted run must span a compaction")
+    val resumed = CrawlEngine.resume(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), ck, Seq("https://www.site0.com/"), expectedUrls = 10000)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "depth", "discovery_seq", "status", "signature")
+        .collect().map(_.toSeq).toSet
+    assert(key(resumed.pages) == key(full.pages),
+      s"resumed=${resumed.pages.count()} full=${full.pages.count()}")
+    val fullSeen = full.seen.select("url_lower").collect().map(_.getString(0)).toSet
+    val resSeen = resumed.seen.select("url_lower").collect().map(_.getString(0)).toSet
+    assert(fullSeen == resSeen)
+  }
 }

@@ -331,6 +331,56 @@ class CrawlEngine(
       spark.sparkContext.emptyRDD[(Long, Boolean)].partitionBy(seenPartitioner)
     var sigRddEpochs = 0
     var sigBase: Option[org.apache.spark.rdd.RDD[(Long, Boolean)]] = None
+    // O(residue) membership probes (round-3 verdict #1): per-partition
+    // SORTED key arrays built from the store ONCE (lazily, then again per
+    // compaction) and persisted — each epoch's gate probes (cached array ∪
+    // small since-compaction delta set) instead of rebuilding a hash set
+    // from the ENTIRE store every epoch (O(|seen|)/epoch at 10^10 URLs).
+    // Sorted array + binary search over a HashSet: same contract, ~2-4x
+    // less resident memory. The probe is a SNAPSHOT of the store at build
+    // time; `seenDeltaRdd`/`sigDeltaRdd` carry every key appended since —
+    // a key present in both sides answers identically, so build timing
+    // can lag appends without a correctness window.
+    var seenProbe: org.apache.spark.rdd.RDD[Array[String]] = null
+    var seenDeltaRdd: org.apache.spark.rdd.RDD[(String, String)] =
+      spark.sparkContext.emptyRDD[(String, String)].partitionBy(seenPartitioner)
+    def seenProbeRdd(): org.apache.spark.rdd.RDD[Array[String]] = {
+      if (seenProbe == null)
+        seenProbe = seenRdd.mapPartitions({ it =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) buf += it.next()._1
+          val arr = buf.toArray
+          java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]])
+          Iterator.single(arr)
+        }, preservesPartitioning = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      seenProbe
+    }
+    def resetSeenProbe(): Unit = {
+      if (seenProbe != null) { try seenProbe.unpersist(false) catch { case _: Throwable => } }
+      seenProbe = null
+      seenDeltaRdd = spark.sparkContext.emptyRDD[(String, String)].partitionBy(seenPartitioner)
+    }
+    var sigProbe: org.apache.spark.rdd.RDD[Array[Long]] = null
+    var sigDeltaRdd: org.apache.spark.rdd.RDD[(Long, Boolean)] =
+      spark.sparkContext.emptyRDD[(Long, Boolean)].partitionBy(seenPartitioner)
+    def sigProbeRdd(): org.apache.spark.rdd.RDD[Array[Long]] = {
+      if (sigProbe == null)
+        sigProbe = sigRdd.mapPartitions({ it =>
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (it.hasNext) buf += it.next()._1
+          val arr = buf.toArray
+          java.util.Arrays.sort(arr)
+          Iterator.single(arr)
+        }, preservesPartitioning = true)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigProbe
+    }
+    def resetSigProbe(): Unit = {
+      if (sigProbe != null) { try sigProbe.unpersist(false) catch { case _: Throwable => } }
+      sigProbe = null
+      sigDeltaRdd = spark.sparkContext.emptyRDD[(Long, Boolean)].partitionBy(seenPartitioner)
+    }
     var sigWinnerCaches = Vector.empty[DataFrame]
     // persisted admitted sets backing the lazy seen deltas (released at
     // compaction)
@@ -641,16 +691,35 @@ class CrawlEngine(
         val definitelyNew = withLower.filter(!mightContain)
         val maybeSeen = withLower.filter(mightContain)
         val lowerIdx = withLower.schema.fieldIndex("url_lower")
-        val unseenMaybe = spark.createDataFrame(
-          maybeSeen.rdd.map(r => (r.getString(lowerIdx), r))
-            .partitionBy(seenPartitioner)
-            .zipPartitions(seenRdd) { (cit, sit) =>
-              val set = new java.util.HashSet[String]()
-              while (sit.hasNext) set.add(sit.next()._1)
-              cit.collect { case (k, r) if !set.contains(k) => r }
-            },
-          withLower.schema)
-        val unseen = definitelyNew.unionByName(unseenMaybe)
+        val unseen = if (CrawlEngine.gateMode == "broadcast") {
+          // round-2 gate, kept behind SPARK_GRAFT_GATE=broadcast for the
+          // same-window A/B (round-3 verdict #3): the maybe-seen keys
+          // broadcast against the seen view, hits broadcast back — two
+          // epoch-sized driver round-trips the co-partitioned probe avoids
+          val hits = seen.join(
+            broadcast(maybeSeen.select(col("url_lower")).distinct()), Seq("url_lower"), "left_semi")
+          definitelyNew.unionByName(
+            maybeSeen.join(broadcast(hits), Seq("url_lower"), "left_anti"))
+        } else {
+          val unseenMaybe = spark.createDataFrame(
+            maybeSeen.rdd.map(r => (r.getString(lowerIdx), r))
+              .partitionBy(seenPartitioner)
+              .zipPartitions(seenProbeRdd(), seenDeltaRdd) { (cit, pit, dit) =>
+                val base: Array[AnyRef] =
+                  if (pit.hasNext) pit.next().asInstanceOf[Array[AnyRef]]
+                  else new Array[AnyRef](0)
+                var delta: java.util.HashSet[String] = null
+                while (dit.hasNext) {
+                  if (delta == null) delta = new java.util.HashSet[String]()
+                  delta.add(dit.next()._1)
+                }
+                cit.collect { case (k, r)
+                  if java.util.Arrays.binarySearch(base, k) < 0 &&
+                    (delta == null || !delta.contains(k)) => r }
+              },
+            withLower.schema)
+          definitelyNew.unionByName(unseenMaybe)
+        }
 
         // 2. B8 batch dedup (case-insensitive keep canonical-min, the
         //    frontier HashSet semantics `website.rs:7810`) is STRUCTURAL:
@@ -972,18 +1041,27 @@ class CrawlEngine(
           val newWinners = timed("sig_reroot")(spark.createDataFrame(
             cands.rdd.map(r => (r.getLong(0), r))
               .partitionBy(seenPartitioner)
-              .zipPartitions(sigRdd) { (cit, sit) =>
-                val set = new java.util.HashSet[java.lang.Long]()
-                while (sit.hasNext) set.add(Long.box(sit.next()._1))
-                cit.collect { case (k, r) if !set.contains(Long.box(k)) => r }
+              .zipPartitions(sigProbeRdd(), sigDeltaRdd) { (cit, pit, dit) =>
+                val base = if (pit.hasNext) pit.next() else Array.emptyLongArray
+                var delta: java.util.HashSet[java.lang.Long] = null
+                while (dit.hasNext) {
+                  if (delta == null) delta = new java.util.HashSet[java.lang.Long]()
+                  delta.add(Long.box(dit.next()._1))
+                }
+                cit.collect { case (k, r)
+                  if java.util.Arrays.binarySearch(base, k) < 0 &&
+                    (delta == null || !delta.contains(Long.box(k))) => r }
               }, candsSchema)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           sigWinnerCaches :+= newWinners
           val firstPerSig = sigOk.withColumn("__k", sigKey)
             .join(newWinners, Seq("signature", "__k"), "left_semi").drop("__k")
-          // delta append: lazy over the persisted winners, partitioner-aware
-          sigRdd = spark.sparkContext.union(sigRdd,
-            newWinners.rdd.map(r => (r.getLong(0), true)).partitionBy(seenPartitioner))
+          // delta append: lazy over the persisted winners, partitioner-aware;
+          // ONE shuffled instance feeds both the store and the probe delta
+          val sigDeltaPart = newWinners.rdd.map(r => (r.getLong(0), true))
+            .partitionBy(seenPartitioner)
+          sigRdd = spark.sparkContext.union(sigRdd, sigDeltaPart)
+          sigDeltaRdd = spark.sparkContext.union(sigDeltaRdd, sigDeltaPart)
           sigRddEpochs += 1
           expanding = firstPerSig.unionByName(
             expanding.filter(col("status") === 200 && col("signature") === 0L))
@@ -1096,7 +1174,9 @@ class CrawlEngine(
           admittedCaches :+= admittedDs
           timed("seen_reroot")(seenDelta.rdd).map(r => (r.getString(0), r.getString(1)))
         }
-        seenRdd = spark.sparkContext.union(seenRdd, deltaRdd.partitionBy(seenPartitioner))
+        val seenDeltaPart = deltaRdd.partitionBy(seenPartitioner)
+        seenRdd = spark.sparkContext.union(seenRdd, seenDeltaPart)
+        seenDeltaRdd = spark.sparkContext.union(seenDeltaRdd, seenDeltaPart)
         seenRddEpochs += 1
         readyHist = if (carryover) histOf(frontier) else Map(0L -> newLinkCount)
         val frontierCount = readyHist.values.sum
@@ -1117,8 +1197,20 @@ class CrawlEngine(
             seenRdd = c
             seenRddEpochs = 0
           }
-          blooms = Vector.empty
-          bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
+          // probe snapshot refresh: next gate lazily rebuilds the sorted
+          // per-partition arrays from the compacted store; the delta chain
+          // resets to empty (its keys are in the compacted store now)
+          resetSeenProbe()
+          // generation blooms (round-3 verdict #5): the per-epoch delta
+          // blooms keep serving — the full O(|seen|) rebuild runs only when
+          // the generation count exceeds bloomMaxGenerations (group FP
+          // estimate 1-(1-0.01)^k; a false positive costs one exact-probe
+          // shuffle row, never correctness), so compaction is O(delta) for
+          // most windows
+          if (blooms.size > config.bloomMaxGenerations) {
+            blooms = Vector.empty
+            bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
+          }
           admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
           admittedCaches = Vector.empty
           if (sigRddEpochs > 0) {
@@ -1131,6 +1223,7 @@ class CrawlEngine(
               sigRdd = c
               sigRddEpochs = 0
             }
+            resetSigProbe()
             sigWinnerCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
             sigWinnerCaches = Vector.empty
           }
@@ -1185,6 +1278,13 @@ class CrawlEngine(
 }
 
 object CrawlEngine {
+
+  /** Visited-gate implementation switch for the same-window A/B bench
+    * (round-3 verdict #3): `copartition` (default) probes the
+    * never-reshuffled seen store in place; `broadcast` restores the
+    * round-2 gate (maybe-seen keys broadcast out, hits broadcast back).
+    */
+  private[engine] val gateMode = sys.env.getOrElse("SPARK_GRAFT_GATE", "copartition")
 
   /** Static ParsedPage schema — handed to every delta read so no per-epoch
     * footer-inference job runs.

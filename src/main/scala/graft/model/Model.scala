@@ -139,9 +139,19 @@ final case class CrawlConfig(
     autoThrottleMaxDelayMs: Long = 60000L,
     autoThrottleAlpha: Double = 0.15,
     // long-crawl state hygiene: every k epochs compact seen/signature
-    // deltas into one checkpointed table and rebuild ONE bloom, keeping
-    // per-epoch gate cost flat over thousands of epochs
+    // deltas into one checkpointed table and rebuild the per-partition
+    // probe structures, keeping per-epoch gate cost flat over thousands
+    // of epochs
     stateCompactionEpochs: Int = 16,
+    // generation blooms: per-epoch delta blooms keep serving across
+    // compactions; the full O(|seen|) bloom rebuild runs only when the
+    // generation count exceeds this bound. Each generation is sized for
+    // its epoch at 1% FPP, so the group false-positive estimate just
+    // before a rebuild is ~1-(1-0.01)^k (~28% at the default 32) — a
+    // false positive only sends the URL to the exact probe (extra
+    // residue shuffle, never a correctness miss), so compaction stays
+    // O(delta) for k-1 of every k rebuild windows.
+    bloomMaxGenerations: Int = 32,
     // epochs admitting at most this many URLs assign link sequence numbers
     // driver-side in one job instead of the distributed two-pass (identical
     // canonical order; the two-pass costs ~4 driver barriers that dwarf the

@@ -28,9 +28,10 @@ object OracleCrawler {
       frontierRemainder: Vector[FrontierEntry],
       epochs: Long)
 
-  // canonical order (SURVEY D6)
-  private val canonical: Ordering[FrontierEntry] =
-    Ordering.by(e => (e.depth, e.discovery_seq, e.host, e.url))
+  // canonical order (SURVEY D6) in UTF-8 byte order — shared with the
+  // engine's small-epoch fast path (Sequential), matching the distributed
+  // path's UTF8String binary comparisons
+  private val canonical: Ordering[FrontierEntry] = graft.engine.Sequential.canonical
 
   def crawl(params: CorpusParams, config: CrawlConfig, robots: RobotsProvider,
       seedUrls: Seq[String],
@@ -143,22 +144,14 @@ object OracleCrawler {
         var polAdmitted = gated0
         var deferred = Vector.empty[FrontierEntry]
         if (politenessOn) {
-          val byHost = gated0.groupBy(_.host)
-          val adm = Vector.newBuilder[FrontierEntry]
-          byHost.foreach { case (host, es) =>
+          def delayOf(host: String): Long = {
             val rd = if (config.respectRobotsTxt) robots.politenessDelayMs(host, config.userAgent) else 0L
-            val delay = math.max(math.max(config.delayMs, rd), overrideMs(host))
-            val permits = if (delay == 0) Long.MaxValue / 4 else config.tickMs * 1000L / delay
-            val avail = math.min(hostTokens.getOrElse(host, 1000L) + permits,
-              math.max(2000L, permits * 2))
-            val quota = math.min(avail / 1000L, config.maxPerHostPerEpoch.toLong)
-            val sorted = es.sortBy(e => (-e.priority, e.depth, e.discovery_seq, e.url))
-            val (a, d) = sorted.splitAt(math.min(quota, Int.MaxValue.toLong).toInt)
-            adm ++= a
-            deferred ++= d.map(_.copy(not_before = epoch + 1))
-            hostTokens(host) = avail - a.size * 1000L
+            math.max(math.max(config.delayMs, rd), overrideMs(host))
           }
-          polAdmitted = adm.result()
+          val (a, d) = graft.engine.Sequential.politenessAdmit(gated0, config, epoch,
+            delayOf, hostTokens.get, (h, t) => hostTokens(h) = t)
+          polAdmitted = a
+          deferred ++= d
         }
 
         // 5. budget in canonical order (sequential reference walk)
@@ -169,43 +162,15 @@ object OracleCrawler {
           if (chainStarted)
             polAdmitted.partition(e => chainSm.contains(e.url.toLowerCase(java.util.Locale.ROOT)))
           else (Vector.empty[FrontierEntry], polAdmitted)
-        if (config.wildCardBudgeting || pathBudget.nonEmpty) {
-          val inOrder = budgetable.sorted(canonical)
-          val it = inOrder.iterator
-          var stopped = false
-          while (it.hasNext) {
-            val e = it.next()
-            if (stopped) budgetLeftover :+= e
-            else {
-              var over = false
-              if (config.wildCardBudgeting) {
-                if (wildcardRemaining == 1L) { stopped = true; budgetStopped = true; budgetLeftover :+= e }
-                else wildcardRemaining -= 1
-              }
-              if (!stopped) {
-                if (pathBudget.nonEmpty) {
-                  // exact reference walk (`website.rs:2085-2115`): accumulate
-                  // segments, decrement matching keys, break on exhausted
-                  val segs = UrlOps.budgetSegments(e.url)
-                  val sb = new java.lang.StringBuilder()
-                  var i = 0
-                  while (i < segs.length && !over) {
-                    sb.append(segs(i))
-                    val k = sb.toString
-                    pathBudget.get(k) match {
-                      case Some(rem) =>
-                        if (rem <= 0) over = true
-                        else pathBudget = pathBudget.updated(k, rem - 1)
-                      case None =>
-                    }
-                    i += 1
-                  }
-                }
-                if (!over) admitted :+= e
-              }
-            }
-          }
-        } else admitted = budgetable
+        // exact reference walk (`website.rs:2085-2115`) — shared code
+        // (Sequential.budgetAdmit) with the engine's small-epoch fast path
+        val br = graft.engine.Sequential.budgetAdmit(budgetable, config,
+          wildcardRemaining, pathBudget)
+        admitted = br.admitted
+        budgetLeftover = br.leftover
+        wildcardRemaining = br.wildcardRemaining
+        pathBudget = br.pathBudget
+        budgetStopped ||= br.budgetStopped
         admitted = admitted ++ smExempt
 
         // 6. mark seen; 7. fetch (same generative fetcher semantics)
@@ -287,7 +252,8 @@ object OracleCrawler {
             val ok = parsed.filter(p => p.status == 200 && p.signature != 0L)
             val newSigPages = ok.filter(p => !sigs.contains(p.signature))
             val firstPerSig = newSigPages.groupBy(_.signature).values
-              .map(_.minBy(p => (p.depth, p.discovery_seq, p.host, p.url))).toVector
+              .map(_.minBy(p => (p.depth, p.discovery_seq, p.host, p.url))(graft.engine.Sequential.keyOrder))
+              .toVector
             firstPerSig.foreach(p => sigs += p.signature)
             firstPerSig ++ parsed.filter(p => p.status == 200 && p.signature == 0L)
           } else parsed.filter(_.status == 200)
@@ -298,8 +264,8 @@ object OracleCrawler {
           p.links.zipWithIndex.map { case (u, pos) => (p.depth, p.discovery_seq, pos, u) }
         }
         val uniq = linksRaw.groupBy(_._4.toLowerCase(java.util.Locale.ROOT)).values
-          .map(_.minBy(t => (t._1, t._2, t._3, t._4))).toVector
-          .sortBy(t => (t._1, t._2, t._3, t._4))
+          .map(_.min(graft.engine.Sequential.linkOrder)).toVector
+          .sorted(graft.engine.Sequential.linkOrder)
         val newFrontier = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
           FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
             UrlOps.scoreUrl(u, pd + 1), 0, 0L)
@@ -337,7 +303,7 @@ object OracleCrawler {
     OracleResult(
       pages.result() // the sitemap XML itself is parsed, never emitted as a page
         .filterNot(p => chainSm.contains(p.url.toLowerCase(java.util.Locale.ROOT)))
-        .sortBy(p => (p.depth, p.seq, p.host, p.url)),
+        .sortBy(p => (p.depth, p.seq, p.host, p.url))(graft.engine.Sequential.keyOrder),
       seen.toSet, frontier, epoch)
   }
 }

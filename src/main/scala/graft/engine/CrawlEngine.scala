@@ -531,11 +531,53 @@ class CrawlEngine(
     val canonSeeds = seedUrls.flatMap { s =>
       val c = UrlOps.convertAbsPath(s, s); if (c == null) None else Some(c)
     }.filter(u => seedSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
-    var frontier: DataFrame = spark.createDataset(canonSeeds.zipWithIndex.map { case (u, i) =>
+    val seedEntries = canonSeeds.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
-    }).toDF()
+    }.toVector
     seqCounter = canonSeeds.length.toLong
-    frontier = robotsGate(listsGate(frontier.as[FrontierEntry])).toDF()
+
+    // ------------------------------------------------------------------
+    // Small-epoch fast path state: while every epoch stays under
+    // `smallEpochThreshold` candidates, the WHOLE admission pipeline
+    // (gates, politeness, budget, links, frontier roll) runs driver-side
+    // with the Sequential module — the same code the differential oracle
+    // runs — and only fetch + the page sink touch Spark. The frontier
+    // lives in `frontierLocal`; driver mirrors of the seen/signature
+    // membership make the gate job-free. A distributed epoch (candCount
+    // over the threshold) materializes the frontier, drops the mirrors
+    // permanently, and every later epoch runs the distributed path.
+    // At toy scale (the reference's own test crawls) an epoch otherwise
+    // pays ~10 driver round-trips for <=dozens of rows of actual work.
+    // ------------------------------------------------------------------
+    var frontierLocal: Option[Vector[FrontierEntry]] = None
+    var driverSeen: java.util.HashSet[String] = new java.util.HashSet[String]()
+    var driverSigs: java.util.HashSet[java.lang.Long] = new java.util.HashSet[java.lang.Long]()
+    def dropMirrors(): Unit = { driverSeen = null; driverSigs = null }
+    def listedLocal(patterns: Seq[String], url: String): Boolean =
+      if (config.listsAreRegex) patterns.exists(p => p.r.findFirstIn(url).isDefined)
+      else patterns.contains(url)
+    // is_allowed_default driver-side (lists + robots) — same policy objects
+    // the distributed gate's codegen expressions consult
+    def gateDefaultLocal(e: FrontierEntry): Boolean =
+      (config.whitelist.isEmpty || listedLocal(config.whitelist, e.url)) &&
+        (config.blacklist.isEmpty || !listedLocal(config.blacklist, e.url)) &&
+        (!config.respectRobotsTxt ||
+          robots.policyFor(e.host).canFetch(config.userAgent, e.url))
+    var frontier: DataFrame = null
+    if (config.smallEpochThreshold > 0) {
+      frontierLocal = Some(seedEntries.filter(gateDefaultLocal))
+      frontier = spark.emptyDataset[FrontierEntry].toDF() // unused while local
+    } else {
+      dropMirrors()
+      frontier = robotsGate(listsGate(
+        spark.createDataset(seedEntries).as[FrontierEntry])).toDF()
+    }
+    def frontierDf: DataFrame = frontierLocal match {
+      case Some(v) =>
+        if (v.isEmpty) spark.emptyDataset[FrontierEntry].toDF()
+        else spark.createDataset(v).toDF()
+      case None => frontier
+    }
 
     val canonicalOrder = Seq(col("depth"), col("discovery_seq"), col("host"), col("url"))
 
@@ -544,6 +586,10 @@ class CrawlEngine(
     resumeFrom.foreach { ck =>
       val e = ck.latestEpoch()
       if (e >= 0) {
+        // restored state is distributed-only: the local-frontier fast path
+        // and its membership mirrors never survive a restart
+        frontierLocal = None
+        dropMirrors()
         frontier = ck.readTable(e, "frontier").localCheckpoint(true)
         seenRdd = ck.readTable(e, "seen").rdd
           .map(r => (r.getString(0), r.getString(1)))
@@ -628,8 +674,8 @@ class CrawlEngine(
     def histOf(df: DataFrame): Map[Long, Long] =
       df.groupBy(col("not_before")).agg(count(lit(1)).as("n")).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toMap
-    readyHist = histOf(frontier)
-    var frontierCountPrev = readyHist.values.sum
+    if (frontierLocal.isEmpty) readyHist = histOf(frontier)
+    var frontierCountPrev = frontierLocal.map(_.size.toLong).getOrElse(readyHist.values.sum)
     var done = frontierCountPrev == 0
     var epochCache: Option[DataFrame] = None // politeness rank cache, per epoch
     // A6 chain state: lowercased canonical URLs of every sitemap DOCUMENT
@@ -638,6 +684,290 @@ class CrawlEngine(
     // sitemap count, never by page count.
     var chainStarted = false
     val chainSitemapLower = scala.collection.mutable.Set.empty[String]
+
+    // tiny-epoch membership probes against the distributed stores — the
+    // mirror-dropped fallback: ONE job over <= threshold keys
+    def probeSeenPresent(keys: Seq[String]): Set[String] =
+      if (keys.isEmpty) Set.empty
+      else spark.sparkContext.parallelize(keys, 1).map(k => (k, ()))
+        .partitionBy(seenPartitioner)
+        .zipPartitions(seenProbeRdd(), seenDeltaRdd) { (cit, pit, dit) =>
+          val base: Array[AnyRef] =
+            if (pit.hasNext) pit.next().asInstanceOf[Array[AnyRef]] else new Array[AnyRef](0)
+          var delta: java.util.HashSet[String] = null
+          while (dit.hasNext) {
+            if (delta == null) delta = new java.util.HashSet[String]()
+            delta.add(dit.next()._1)
+          }
+          cit.collect { case (k, _)
+            if java.util.Arrays.binarySearch(base, k) >= 0 ||
+              (delta != null && delta.contains(k)) => k }
+        }.collect().toSet
+    def probeSigsPresent(sigs: Set[Long]): Set[Long] =
+      if (sigs.isEmpty) Set.empty
+      else spark.sparkContext.parallelize(sigs.toSeq, 1).map(k => (k, ()))
+        .partitionBy(seenPartitioner)
+        .zipPartitions(sigProbeRdd(), sigDeltaRdd) { (cit, pit, dit) =>
+          val base = if (pit.hasNext) pit.next() else Array.emptyLongArray
+          var delta: java.util.HashSet[java.lang.Long] = null
+          while (dit.hasNext) {
+            if (delta == null) delta = new java.util.HashSet[java.lang.Long]()
+            delta.add(Long.box(dit.next()._1))
+          }
+          cit.collect { case (k, _)
+            if java.util.Arrays.binarySearch(base, k) >= 0 ||
+              (delta != null && delta.contains(Long.box(k))) => k }
+        }.collect().toSet
+
+    // state hygiene for long crawls: every k epochs fold the
+    // co-partitioned delta chains flat (localCheckpoint — distributed,
+    // partitioner preserved, no driver funnel), refresh the probe
+    // snapshots, and rebuild the bloom group only when its generation
+    // count exceeds the documented FP bound — per-epoch gate cost stays
+    // flat over thousands of epochs while compaction itself is O(delta)
+    // for most windows
+    def compactStores(): Unit = {
+      timed("seen_compact") {
+        val c = seenRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.localCheckpoint()
+        c.count()
+        seenBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
+        seenBase = Some(c)
+        seenRdd = c
+        seenRddEpochs = 0
+      }
+      // probe snapshot refresh: next gate lazily rebuilds the sorted
+      // per-partition arrays from the compacted store; the delta chain
+      // resets to empty (its keys are in the compacted store now)
+      resetSeenProbe()
+      // generation blooms (round-3 verdict #5): the per-epoch delta
+      // blooms keep serving — the full O(|seen|) rebuild runs only when
+      // the generation count exceeds bloomMaxGenerations (group FP
+      // estimate 1-(1-0.01)^k; a false positive costs one exact-probe
+      // shuffle row, never correctness)
+      if (blooms.size > config.bloomMaxGenerations) {
+        blooms = Vector.empty
+        bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
+      }
+      admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
+      admittedCaches = Vector.empty
+      if (sigRddEpochs > 0) {
+        timed("sig_compact") {
+          val c = sigRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.localCheckpoint()
+          c.count()
+          sigBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
+          sigBase = Some(c)
+          sigRdd = c
+          sigRddEpochs = 0
+        }
+        resetSigProbe()
+        sigWinnerCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
+        sigWinnerCaches = Vector.empty
+      }
+    }
+
+    // ---- full driver-side epoch (see the fast-path comment at the
+    // frontierLocal declaration): admission runs through the Sequential
+    // module — the exact code the differential oracle runs — fetch goes
+    // through the Fetcher seam, parsing through the shared pure
+    // parsePage, pages to the same parquet sink. Two Spark jobs per
+    // epoch (fetch-collect + sink write), zero when nothing is admitted.
+    def smallEpoch(all: Vector[FrontierEntry], candCount: Long, epochT0: Long): Unit = {
+      import java.nio.charset.StandardCharsets
+      val (readyV, heldV) = all.partition(_.not_before <= epoch)
+      // B1 seen gate: driver mirror, else one tiny probe job. (B8 batch
+      // dedup is structural — the local frontier is unique by lower(url)
+      // by construction, like the distributed one.)
+      val unseenV =
+        if (driverSeen != null) readyV.filterNot(e => driverSeen.contains(UrlOps.lowerUtf8(e.url)))
+        else {
+          val present = probeSeenPresent(readyV.map(e => UrlOps.lowerUtf8(e.url)))
+          readyV.filterNot(e => present.contains(UrlOps.lowerUtf8(e.url)))
+        }
+      // B2/B3/B4/B6 stateless gates
+      val gated0 = unseenV.filter(gateDefaultLocal).filter { e =>
+        config.depth <= 0 || UrlOps.pathDepth(e.url) <= depthDistance
+      }
+      // B9 politeness (shared walk — identical ledgers to the distributed
+      // politenessStateDf computation)
+      var polAdmitted = gated0
+      var deferredV = Vector.empty[FrontierEntry]
+      if (politenessPossible) {
+        def overrideMsLocal(host: String): Long = {
+          val thr = Option(throttleOverrideMs.get(host)).map(_.longValue).getOrElse(0L)
+          val ema =
+            if (!config.autoThrottle) 0L
+            else Option(latencyEma.get(host)).map { e =>
+              math.min(config.autoThrottleMaxDelayMs,
+                math.max(config.autoThrottleMinDelayMs,
+                  (e.doubleValue / config.autoThrottleTargetConcurrency).toLong))
+            }.getOrElse(0L)
+          math.max(thr, ema)
+        }
+        def delayOf(host: String): Long = {
+          val rd = if (config.respectRobotsTxt) robots.politenessDelayMs(host, config.userAgent) else 0L
+          math.max(math.max(config.delayMs, rd), overrideMsLocal(host))
+        }
+        val (a, d) = Sequential.politenessAdmit(gated0, config, epoch, delayOf,
+          h => Option(hostTokensMap.get(h)).map(_.longValue),
+          (h, t) => hostTokensMap.put(h, Long.box(t)))
+        polAdmitted = a; deferredV = d
+      }
+      // B7 budget (shared walk); chain-phase sitemap docs budget-exempt
+      val (smExemptV, budgetableV) =
+        if (chainStarted && chainSitemapLower.nonEmpty)
+          polAdmitted.partition(e => chainSitemapLower.contains(UrlOps.lowerUtf8(e.url)))
+        else (Vector.empty[FrontierEntry], polAdmitted)
+      val br = Sequential.budgetAdmit(budgetableV, config, wildcardRemaining, pathBudget)
+      wildcardRemaining = br.wildcardRemaining
+      pathBudget = br.pathBudget
+      if (br.budgetStopped) budgetStopped = true
+      val admittedV = br.admitted ++ smExemptV
+      val admittedCount = admittedV.size.toLong
+      // bloom delta — keeps the broadcast group valid for a later
+      // distributed epoch (same 1% FPP sizing rule as the fused builder)
+      if (admittedV.nonEmpty) {
+        val b = BloomFilter.create(math.max(1024L, candCount), 0.01)
+        admittedV.foreach(e =>
+          b.putBinary(UrlOps.lowerUtf8(e.url).getBytes(StandardCharsets.UTF_8)))
+        val bos = new java.io.ByteArrayOutputStream()
+        b.writeTo(bos)
+        blooms :+= bos.toByteArray
+      }
+      hotHostWidths = Map.empty
+      // A3 fetch through the seam with D5 emission order (priority
+      // emission, or host round-robin interleave when configured —
+      // reference `UrlFrontier::pop` frontier.rs:78-121); results are
+      // restored to admission order afterwards so the epoch-0 re-anchor
+      // scan is deterministic
+      val fetchOrderedV =
+        if (config.roundRobin)
+          admittedV.groupBy(_.host).values.toVector
+            .flatMap(es => es.sorted(Sequential.hostOrder).zipWithIndex.map(_.swap))
+            .sorted(Ordering.Tuple2(implicitly[Ordering[Int]], Sequential.hostOrder))
+            .map(_._2)
+        else admittedV.sorted(Sequential.hostOrder)
+      val fetched0: Array[FetchResult] =
+        if (admittedV.isEmpty) Array.empty
+        else fetcher.fetch(spark, spark.createDataset(fetchOrderedV)).collect()
+      val pos = admittedV.iterator.map(_.url).zipWithIndex.toMap
+      val fetched = fetched0.sortBy(f => pos.getOrElse(f.url, Int.MaxValue))
+      // B9 reactive signals: 429 Retry-After override + bucket drain;
+      // latency EMA for the auto-throttle
+      if (politenessPossible) {
+        fetched.filter(f => f.f_status == 429 && f.f_retry_after_ms > 0)
+          .groupBy(_.host).foreach { case (h, fs) =>
+            throttleOverrideMs.put(h, Long.box(fs.map(_.f_retry_after_ms).max))
+            hostTokensMap.put(h, Long.box(0L))
+          }
+        if (config.autoThrottle) {
+          fetched.filter(_.f_latency_ms > 0).groupBy(_.host).foreach { case (h, fs) =>
+            val avg = fs.map(_.f_latency_ms.toDouble).sum / fs.size
+            val prev = latencyEma.get(h)
+            latencyEma.put(h, Double.box(
+              if (prev == null) avg
+              else prev.doubleValue + config.autoThrottleAlpha * (avg - prev.doubleValue)))
+          }
+        }
+      }
+      // C7 retry ladder; retried URLs leave the seen set
+      val (toRetry, keep) = fetched.partition(f =>
+        retry.isRetryableStatus(f.f_status) && f.attempt < retry.maxAttempts)
+      val retryV = toRetry.map(f => FrontierEntry(f.url, f.host, f.depth, f.discovery_seq,
+        f.priority, f.attempt + 1, epoch + retry.backoffEpochsOf(f.attempt))).toVector
+      val retriedLower = toRetry.iterator.map(f => UrlOps.lowerUtf8(f.url)).toSet
+      val seenDeltaV = admittedV.iterator.map(e => (UrlOps.lowerUtf8(e.url), e.url))
+        .filterNot(kv => retriedLower.contains(kv._1)).toVector
+      if (driverSeen != null) {
+        seenDeltaV.foreach(kv => driverSeen.add(kv._1))
+        if (driverSeen.size > CrawlEngine.mirrorCap) dropMirrors()
+      }
+      seenCount += seenDeltaV.size
+      if (seenDeltaV.nonEmpty) {
+        val d = spark.sparkContext.parallelize(seenDeltaV, 1).partitionBy(seenPartitioner)
+        seenRdd = spark.sparkContext.union(seenRdd, d)
+        seenDeltaRdd = spark.sparkContext.union(seenDeltaRdd, d)
+        seenRddEpochs += 1
+      }
+      // C6 scope re-anchor on epoch-0 cross-host redirect
+      if (epoch == 0L)
+        keep.find(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
+          .foreach(f => scope = scope.copy(redirectHost = UrlOps.host(f.f_final_url)))
+      // C1-C4/C8 parse (shared pure function) + A7 page-sink delta
+      val lrw = onLinkFind.orNull
+      val sc = scope
+      val ep = epoch
+      val parsedV = keep.map(f => CrawlEngine.parsePage(f, sc, ep, lrw))
+      if (parsedV.nonEmpty) {
+        spark.createDataset(parsedV.toIndexedSeq).coalesce(1)
+          .write.option("compression", "none").parquet(s"$pagesSink/epoch=$epoch")
+        pagesWritten = true
+      }
+      // B11 veto gates expansion of ordinary pages; chain-phase sitemap
+      // docs bypass it (the reference parses sitemaps outside the page
+      // veto channel)
+      val afterVeto = onShouldCrawl match {
+        case Some(veto) => parsedV.filter(veto)
+        case None => parsedV
+      }
+      var expandingV: Seq[ParsedPage] = Vector.empty
+      if (chainStarted) {
+        val smDocs = parsedV.filter(p =>
+          p.status == 200 && chainSitemapLower.contains(UrlOps.lowerUtf8(p.url)))
+        expandingV = smDocs.map(p => p.copy(links = p.links ++ p.sitemap_links)).toVector
+        smDocs.flatMap(_.sitemap_links).foreach(u => chainSitemapLower += UrlOps.lowerUtf8(u))
+      } else if (config.normalize) {
+        // C5 signature dedup: canonical-first page per NEW signature
+        val ok = afterVeto.filter(p => p.status == 200 && p.signature != 0L)
+        val perSig = ok.groupBy(_.signature).map { case (s, ps) =>
+          s -> ps.minBy(p => (p.depth, p.discovery_seq, p.host, p.url))(Sequential.keyOrder)
+        }
+        val newSigs: Set[Long] =
+          if (driverSigs != null) perSig.keySet.filter(s => !driverSigs.contains(Long.box(s))).toSet
+          else perSig.keySet.toSet -- probeSigsPresent(perSig.keySet.toSet)
+        expandingV = newSigs.toVector.sorted.map(perSig) ++
+          afterVeto.filter(p => p.status == 200 && p.signature == 0L)
+        if (driverSigs != null) newSigs.foreach(s => driverSigs.add(Long.box(s)))
+        if (newSigs.nonEmpty) {
+          val d = spark.sparkContext.parallelize(newSigs.toSeq.map((_, true)), 1)
+            .partitionBy(seenPartitioner)
+          sigRdd = spark.sparkContext.union(sigRdd, d)
+          sigDeltaRdd = spark.sparkContext.union(sigDeltaRdd, d)
+          sigRddEpochs += 1
+        }
+      } else expandingV = afterVeto.filter(_.status == 200).toVector
+      // C2/D1 links: explode, ci-dedup keep canonical-min, global seq
+      val linksRaw = expandingV.flatMap(p =>
+        p.links.zipWithIndex.map { case (u, idx) => (p.depth, p.discovery_seq, idx, u) })
+      val uniq = linksRaw.groupBy(t => UrlOps.lowerUtf8(t._4)).values
+        .map(_.min(Sequential.linkOrder)).toVector.sorted(Sequential.linkOrder)
+      val newFrontierV = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
+        FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
+          UrlOps.scoreUrl(u, pd + 1), 0, 0L)
+      }
+      seqCounter += uniq.size.toLong
+      // D1 next frontier, case-insensitive dedup keep canonical-min
+      frontierLocal = Some(CrawlEngine.dedupCanonicalMinLocal(
+        heldV ++ deferredV ++ br.leftover ++ retryV ++ newFrontierV))
+      val frontierCount = frontierLocal.get.size.toLong
+      frontierCountPrev = frontierCount
+      // store hygiene: with the mirrors gone the per-epoch probe jobs walk
+      // the delta chains — compact on the usual cadence; with mirrors live
+      // the chains stay lazy until a checkpoint/transition needs them
+      if (driverSeen == null && seenRddEpochs >= math.max(2, config.stateCompactionEpochs))
+        compactStores()
+      metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
+        uniq.size.toLong, frontierCount, seenCount, budgetStopped,
+        (System.nanoTime() - epochT0) / 1000000L)
+      checkpoint.foreach(_.commit(epoch, frontierDf, seen, signatures, hostTokensDf(), pages,
+        seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
+      epoch += 1
+      onEpoch.foreach(f => f(epoch - 1))
+      done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs ||
+        shutdownRequested || System.nanoTime() > deadline
+    }
+
     var crawling = true
     while (crawling) {
     while (!done) {
@@ -652,34 +982,59 @@ class CrawlEngine(
         val drained = Iterator.continually(inbox.poll()).takeWhile(_ != null)
           .flatMap(u => Option(UrlOps.convertAbsPath(u, u))).toVector.distinct
         if (drained.nonEmpty) {
-          val injected = spark.createDataset(drained.zipWithIndex.map { case (u, i) =>
+          val injectedV = drained.zipWithIndex.map { case (u, i) =>
             FrontierEntry(u, UrlOps.host(u), 0, seqCounter + i, UrlOps.scoreUrl(u, 0), 0, 0L)
-          }).toDF()
+          }.toVector
           seqCounter += drained.length
           // restore the frontier's unique-by-lower(url) invariant
-          frontier = CrawlEngine.dedupCanonicalMin(frontier.unionByName(injected))
-            .localCheckpoint(true)
-          readyHist = histOf(frontier)
-          frontierCountPrev = readyHist.values.sum
+          frontierLocal match {
+            case Some(v) =>
+              frontierLocal = Some(CrawlEngine.dedupCanonicalMinLocal(v ++ injectedV))
+              frontierCountPrev = frontierLocal.get.size.toLong
+            case None =>
+              frontier = CrawlEngine.dedupCanonicalMin(
+                frontier.unionByName(spark.createDataset(injectedV).toDF()))
+                .localCheckpoint(true)
+              readyHist = histOf(frontier)
+              frontierCountPrev = readyHist.values.sum
+          }
         }
       }
 
       // 0. candidates whose politeness/retry holdoff has passed
-      val ready = if (holdsPossible) frontier.filter(col("not_before") <= lit(epoch)) else frontier
-      val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
-        else spark.emptyDataset[FrontierEntry].toDF()
       val epochT0 = System.nanoTime()
-      val candCount =
-        if (holdsPossible) readyHist.iterator.filter(_._1 <= epoch).map(_._2).sum
-        else frontierCountPrev
+      val candCount = frontierLocal match {
+        case Some(v) =>
+          if (holdsPossible) v.count(_.not_before <= epoch).toLong else v.size.toLong
+        case None =>
+          if (holdsPossible) readyHist.iterator.filter(_._1 <= epoch).map(_._2).sum
+          else frontierCountPrev
+      }
 
       if (candCount == 0) {
         // nothing ready this tick — advance logical time only
         epoch += 1
         onEpoch.foreach(f => f(epoch - 1))
-        if (frontier.isEmpty || epoch >= config.maxEpochs ||
+        val frontierEmpty = frontierLocal.map(_.isEmpty).getOrElse(frontier.isEmpty)
+        if (frontierEmpty || epoch >= config.maxEpochs ||
           shutdownRequested || System.nanoTime() > deadline) done = true
+      } else if (frontierLocal.isDefined && candCount <= config.smallEpochThreshold)
+        timed("epoch_total") {
+        smallEpoch(frontierLocal.get, candCount, epochT0)
       } else timed("epoch_total") {
+        if (frontierLocal.isDefined) {
+          // candidate volume outgrew the fast path: materialize the
+          // frontier and fall through to the distributed pipeline — the
+          // driver mirrors go stale from here on, permanently
+          frontier = spark.createDataset(frontierLocal.get).toDF().localCheckpoint(true)
+          frontierLocal = None
+          dropMirrors()
+          readyHist = histOf(frontier)
+          frontierCountPrev = readyHist.values.sum
+        }
+        val ready = if (holdsPossible) frontier.filter(col("not_before") <= lit(epoch)) else frontier
+        val deferredHold = if (holdsPossible) frontier.filter(col("not_before") > lit(epoch))
+          else spark.emptyDataset[FrontierEntry].toDF()
         // 1. B1 visited: bloom fast-negative (codegen expression over the
         //    broadcast filter group — no UDF on the hot path); the
         //    maybe-seen residue shuffles to the seen store's partitions
@@ -1021,14 +1376,16 @@ class CrawlEngine(
           // plus recursive <sitemapindex> locs; entry pages are recorded
           // but never expanded ("does not re-crawl the links of the pages
           // found on the sitemap", `website.rs:11601`). The sitemap XML
-          // bypasses signature dedup (the reference parses it inline — it
-          // never enters the page channel).
+          // bypasses BOTH signature dedup AND the B11 veto (the reference
+          // parses sitemaps outside the page channel — the veto governs
+          // page-link expansion only), so expansion derives from `parsed`,
+          // not the veto-filtered stream — mirroring the oracle.
           val isSm = lower(col("url")).isInCollection(chainSitemapLower.toSeq)
           val nested = parsed.toDF().filter(isSm)
             .select(explode(col("sitemap_links")).as("u")).as[String].collect()
-          expanding = expanding.filter(col("status") === 200 && isSm)
+          expanding = parsed.toDF().filter(col("status") === 200 && isSm)
             .withColumn("links", concat(col("links"), col("sitemap_links")))
-          chainSitemapLower ++= nested.map(_.toLowerCase(java.util.Locale.ROOT))
+          chainSitemapLower ++= nested.map(UrlOps.lowerUtf8)
         } else if (config.normalize) {
           val sigOk = expanding.filter(col("status") === 200 && col("signature") =!= 0L)
           val sigKey = struct(col("depth"), col("discovery_seq"), col("host"), col("url"))
@@ -1096,7 +1453,7 @@ class CrawlEngine(
           // milliseconds of actual work at this size)
           val rows = timed("links_seq")(uniq.collect())
             .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
-            .sortBy(identity)
+            .sorted(Sequential.linkOrder) // UTF-8 byte order = the distributed path's UTF8String order
           newLinkCount = rows.length
           if (rows.nonEmpty) {
             val entries = rows.zipWithIndex.map { case ((pd, _, _, u), i) =>
@@ -1182,52 +1539,7 @@ class CrawlEngine(
         val frontierCount = readyHist.values.sum
         frontierCountPrev = frontierCount
 
-        // state hygiene for long crawls: every k epochs fold the
-        // co-partitioned delta chain flat (localCheckpoint — distributed,
-        // partitioner preserved, no driver funnel) and rebuild ONE bloom
-        // sized to the whole seen set via a distributed shard scan —
-        // per-epoch gate cost stays flat over thousands of epochs
-        if (seenRddEpochs >= math.max(2, config.stateCompactionEpochs)) {
-          timed("seen_compact") {
-            val c = seenRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            c.localCheckpoint()
-            c.count()
-            seenBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
-            seenBase = Some(c)
-            seenRdd = c
-            seenRddEpochs = 0
-          }
-          // probe snapshot refresh: next gate lazily rebuilds the sorted
-          // per-partition arrays from the compacted store; the delta chain
-          // resets to empty (its keys are in the compacted store now)
-          resetSeenProbe()
-          // generation blooms (round-3 verdict #5): the per-epoch delta
-          // blooms keep serving — the full O(|seen|) rebuild runs only when
-          // the generation count exceeds bloomMaxGenerations (group FP
-          // estimate 1-(1-0.01)^k; a false positive costs one exact-probe
-          // shuffle row, never correctness), so compaction is O(delta) for
-          // most windows
-          if (blooms.size > config.bloomMaxGenerations) {
-            blooms = Vector.empty
-            bloomFromSeen(seenRdd.map(_._1), math.max(1L, seenCount))
-          }
-          admittedCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
-          admittedCaches = Vector.empty
-          if (sigRddEpochs > 0) {
-            timed("sig_compact") {
-              val c = sigRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              c.localCheckpoint()
-              c.count()
-              sigBase.foreach(b => try b.unpersist(false) catch { case _: Throwable => })
-              sigBase = Some(c)
-              sigRdd = c
-              sigRddEpochs = 0
-            }
-            resetSigProbe()
-            sigWinnerCaches.foreach(d => try d.unpersist(false) catch { case _: Throwable => })
-            sigWinnerCaches = Vector.empty
-          }
-        }
+        if (seenRddEpochs >= math.max(2, config.stateCompactionEpochs)) compactStores()
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
           newLinkCount, frontierCount, seenCount, budgetStopped,
@@ -1262,8 +1574,11 @@ class CrawlEngine(
         if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
       }
       if (sms.nonEmpty) {
+        // stored lowercased with the SAME mapping the Spark lower() probes
+        // apply (UTF8String.toLowerCase) — membership must be self-consistent
+        // for non-ASCII hosts/paths
         chainSitemapLower ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-          .map(_.toLowerCase(java.util.Locale.ROOT))
+          .map(UrlOps.lowerUtf8)
         sms.foreach(inbox.add)
         done = false
       } else crawling = false
@@ -1273,7 +1588,7 @@ class CrawlEngine(
     val finalPages = // the sitemap XML itself is parsed, never emitted as a page
       if (chainSitemapLower.isEmpty) pages
       else pages.filter(!lower(col("url")).isInCollection(chainSitemapLower.toSeq))
-    CrawlResult(finalPages, seen, frontier, metrics.toSeq, epoch)
+    CrawlResult(finalPages, seen, frontierDf, metrics.toSeq, epoch)
   }
 }
 
@@ -1285,6 +1600,22 @@ object CrawlEngine {
     * round-2 gate (maybe-seen keys broadcast out, hits broadcast back).
     */
   private[engine] val gateMode = sys.env.getOrElse("SPARK_GRAFT_GATE", "copartition")
+
+  /** Cap on the driver-side seen/signature mirrors of the small-epoch fast
+    * path; past it the mirrors drop and the gate falls back to tiny probe
+    * jobs against the distributed stores. A var so the fallback is testable
+    * at toy scale.
+    */
+  @volatile private[engine] var mirrorCap: Int = 1 << 20
+
+  /** Driver-side mirror of [[dedupCanonicalMin]]: case-insensitive frontier
+    * dedup keeping the canonical-min entry, keyed by the same
+    * UTF8String-lowercase mapping the distributed aggregate's `lower()`
+    * applies.
+    */
+  def dedupCanonicalMinLocal(frontier: Vector[graft.model.FrontierEntry]): Vector[graft.model.FrontierEntry] =
+    frontier.groupBy(e => graft.url.UrlOps.lowerUtf8(e.url)).values
+      .map(_.min(Sequential.canonical)).toVector
 
   /** Static ParsedPage schema — handed to every delta read so no per-epoch
     * footer-inference job runs.

@@ -690,4 +690,12 @@ object UrlOps {
   def pathDepthUtf8(url: UTF8String): Int = pathDepth(url.toString)
   def isMediaAssetUtf8(url: UTF8String): Boolean = isMediaAssetUrl(url.toString)
   def isIgnoredAssetUtf8(url: UTF8String): Boolean = isIgnoredAssetUrl(url.toString)
+
+  /** Lowercase with the SAME mapping Spark's `lower()` applies
+    * (`UTF8String.toLowerCase`) — engine-side driver code that feeds or
+    * probes sets compared against Spark `lower()` columns must use this,
+    * never `String.toLowerCase(Locale.ROOT)` (locale-divergent for a few
+    * non-ASCII mappings).
+    */
+  def lowerUtf8(s: String): String = UTF8String.fromString(s).toLowerCase.toString
 }

@@ -269,12 +269,81 @@ class CrawlDifferentialSpec extends AnyFunSuite {
       "budget-exhausted crawl must skip the sitemap chain (is_over_wild_budget)")
   }
 
+  test("small->distributed transition mid-crawl preserves parity (fast-path handoff)") {
+    // threshold 8: seeds run driver-side, the first fan-out crosses the
+    // threshold — the frontier materializes, the mirrors drop, and the
+    // crawl finishes on the distributed path with the blooms the small
+    // path banked
+    val params = CorpusParams(hosts = 3, pagesPerHost = 60)
+    val cfg = CrawlConfig(maxEpochs = 30, smallEpochThreshold = 8)
+    val (er, or) = run(params, cfg, Seq("https://www.site1.com/"))
+    assertParity(er, or)
+    assert(er.metrics.exists(_.candidates > 8), "corpus never crossed the threshold")
+    assert(er.metrics.exists(_.candidates <= 8), "no small epoch ran before the handoff")
+  }
+
+  test("mirror overflow falls back to store probe jobs without divergence") {
+    // cap the driver mirrors at 5 keys: the small path keeps running but
+    // every later epoch's seen/signature membership comes from the tiny
+    // probe jobs against the co-partitioned stores
+    val params = CorpusParams(hosts = 2, pagesPerHost = 50, dupContentEvery = 3)
+    val prev = CrawlEngine.mirrorCap
+    try {
+      CrawlEngine.mirrorCap = 5
+      val (er, or) = run(params, CrawlConfig(maxEpochs = 30), Seq("https://www.site0.com/"))
+      assertParity(er, or)
+    } finally CrawlEngine.mirrorCap = prev
+  }
+
+  test("distributed politeness+budget+retry path equals oracle (smallEpochThreshold=0)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 60, errorEvery = 9)
+    val cfg = CrawlConfig(budget = Map("*" -> 25, "en" -> 4), delayMs = 150, tickMs = 1000,
+      retryLimit = 1, maxEpochs = 150, smallEpochThreshold = 0)
+    val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
+    assertParity(er, or)
+  }
+
+  test("distributed sitemap chain equals oracle (smallEpochThreshold=0)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5)
+    val cfg = CrawlConfig(maxEpochs = 60, smallEpochThreshold = 0)
+    spark.sparkContext.setLogLevel("ERROR")
+    val robots = new CorpusRobots(params)
+    val er = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), robots,
+      expectedUrls = 100000L).crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    val or = OracleCrawler.crawl(params, cfg, robots, Seq("https://www.site0.com/"),
+      sitemapChain = true)
+    assertParity(er, or)
+  }
+
+  test("B11 veto does not suppress sitemap-doc expansion in the chain (veto+chain)") {
+    // the veto hits ONLY chain-phase sitemap docs (no sitemap URL is
+    // fetched in the main phase); the reference parses sitemaps outside
+    // the page/veto channel, so the result must equal the unvetoed chain
+    // run exactly — on both the small and the distributed path
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5)
+    val robots = new CorpusRobots(params)
+    spark.sparkContext.setLogLevel("ERROR")
+    val or = OracleCrawler.crawl(params, CrawlConfig(maxEpochs = 60), robots,
+      Seq("https://www.site0.com/"), sitemapChain = true)
+    for (threshold <- Seq(4096, 0)) {
+      val er = new CrawlEngine(spark,
+        CrawlConfig(maxEpochs = 60, smallEpochThreshold = threshold),
+        new GenerativeFetcher(params), robots, expectedUrls = 100000L,
+        onShouldCrawl = Some(p => !p.url.contains("sitemap")))
+        .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+      assertParity(er, or)
+    }
+  }
+
   test("state compaction preserves exact semantics across the fold boundary") {
     // compaction every 3 epochs on a politeness-paced crawl that runs ~10+
     // epochs: seen/signature folds + bloom rebuild must not change ANY set
     val params = CorpusParams(hosts = 2, pagesPerHost = 20, dupContentEvery = 3)
+    // smallEpochThreshold=0: with the driver mirrors live the fast path
+    // defers compaction entirely, so force the distributed loop to
+    // actually cross fold boundaries
     val cfg = CrawlConfig(delayMs = 250, tickMs = 1000, maxEpochs = 120,
-      stateCompactionEpochs = 3)
+      stateCompactionEpochs = 3, smallEpochThreshold = 0)
     val (er, or) = run(params, cfg, Seq("https://www.site0.com/"))
     assertParity(er, or)
     val plain = OracleCrawler.crawl(params, cfg.copy(stateCompactionEpochs = 1000),

@@ -127,6 +127,31 @@ object SparkEntry {
     "('https://www.site0.com/en/items/p30.html',6,200)",
     "('https://www.site0.com/fr/items/deep/p31.html',6,200)")
 
+  /** crawl_sitemap_only pins: the sitemap-ONLY walk (reference
+    * `crawl_sitemap()`, `website.rs:6994-7028`) — every page comes from a
+    * sitemap listing (depth 1 = /sitemap.xml entries incl. the seed root,
+    * depth 2 = nested /sitemap-deep.xml entries); no link ever expands.
+    */
+  private[graft] val crawlSitemapOnlyRows: Seq[String] = Seq(
+    "('https://www.site0.com/',1,200)",
+    "('https://www.site0.com/products/en/deep/p3.html',1,200)",
+    "('https://www.site0.com/en/fr/p6.html',1,200)",
+    "('https://www.site0.com/p9.html',1,200)",
+    "('https://www.site0.com/en/p12.html',1,200)",
+    "('https://www.site0.com/products/docs/deep/p15.html',1,200)",
+    "('https://www.site0.com/en/products/p18.html',1,200)",
+    "('https://www.site0.com/p21.html',1,200)",
+    "('https://www.site0.com/en/p24.html',1,200)",
+    "('https://www.site0.com/products/legal/deep/p27.html',1,200)",
+    "('https://www.site0.com/en/items/p30.html',1,200)",
+    "('https://www.site0.com/p33.html',1,200)",
+    "('https://www.site0.com/en/p36.html',1,200)",
+    "('https://www.site0.com/products/en/deep/p39.html',1,200)",
+    "('https://www.site0.com/p1.html',2,200)",
+    "('https://www.site0.com/docs/p8.html',2,200)",
+    "('https://www.site0.com/legal/products/p22.html',2,200)",
+    "('https://www.site0.com/p29.html',2,200)")
+
   // ------------------------------------------------------------------ //
   // Oracle SQL generators for the md5-hash sketch family
   // ------------------------------------------------------------------ //
@@ -273,6 +298,7 @@ object SparkEntry {
     "crawl_budget" -> (Queries.crawlBudget _),
     "crawl_throttle" -> (Queries.crawlThrottle _),
     "crawl_sitemap" -> (Queries.crawlSitemapQ _),
+    "crawl_sitemap_only" -> (Queries.crawlSitemapOnlyQ _),
     // multimodal plumbing
     "m_media_meta" -> (Queries.mMediaMeta _)
   )
@@ -406,6 +432,9 @@ object SparkEntry {
         ") AS t(url, depth, status, epoch)"),
     "crawl_sitemap" ->
       ("SELECT * FROM (VALUES " + crawlSitemapRows.mkString(", ") +
+        ") AS t(url, depth, status)"),
+    "crawl_sitemap_only" ->
+      ("SELECT * FROM (VALUES " + crawlSitemapOnlyRows.mkString(", ") +
         ") AS t(url, depth, status)")
   )
 }

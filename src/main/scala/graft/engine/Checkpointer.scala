@@ -25,7 +25,8 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
       frontier: DataFrame, seen: DataFrame, signatures: DataFrame,
       hostTokens: DataFrame, pages: DataFrame,
       seqCounter: Long, wildcardRemaining: Long, pathBudget: Map[String, Long],
-      scope: ScopeState, metrics: Seq[EpochMetrics]): Unit = {
+      scope: ScopeState, metrics: Seq[EpochMetrics],
+      chainStarted: Boolean = false, chainSitemaps: Seq[String] = Nil): Unit = {
     if (every <= 0 || epoch % every != 0) return
     val snapDir = root.resolve(s"epoch_$epoch")
     val tables = Seq("frontier" -> frontier, "seen" -> seen,
@@ -41,8 +42,14 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
       s"""{"epoch":${m.epoch},"candidates":${m.candidates},"admitted":${m.admitted},""" +
       s""""fetched":${m.fetched},"new_links":${m.new_links},"frontier":${m.frontier_size},""" +
       s""""seen":${m.seen_size},"budget_stopped":${m.budget_stopped}}""").mkString("[", ",", "]")
+    // chain lineage (A6): a kill during the sitemap chain must resume
+    // mid-chain, not degrade to a plain crawl — chainSitemaps carries every
+    // sitemap DOC discovered so far (seed /sitemap.xml + recursive
+    // <sitemapindex> locs), bounded by sitemap count
+    val chainJson = chainSitemaps.map(q).mkString("[", ",", "]")
     val manifest =
       s"""{"epoch":$epoch,"parent":${epoch - every},"seq_counter":$seqCounter,
+         |"chain_started":$chainStarted,"chain_sitemaps":$chainJson,
          |"wildcard_remaining":$wildcardRemaining,"path_budget":$budgetJson,
          |"scope":{"sub_matcher":${q(scope.subMatcher)},"parent_host":${q(scope.parentHost)},
          |"parent_scheme":${q(scope.parentScheme)},"redirect_host":${q(scope.redirectHost)},

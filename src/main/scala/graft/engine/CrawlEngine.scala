@@ -263,11 +263,20 @@ class CrawlEngine(
     * ENTRY pages from its output; here signature dedup only ever gates
     * expansion, so chain-phase entry pages are always recorded.
     */
-  def crawlSitemap(seedUrls: Seq[String]): CrawlResult =
+  def crawlWithSitemap(seedUrls: Seq[String]): CrawlResult =
     crawl(seedUrls, sitemapChain = true)
 
+  /** A6 — sitemap-ONLY walk, aligned with the reference's `crawl_sitemap()`
+    * (`website.rs:6994-7028`): walks each seed's `/sitemap.xml` (recursing
+    * into `<sitemapindex>` locs) and fetches the listed entries INSTEAD of
+    * running the link crawl — seed pages are never fetched and no page's
+    * links expand.
+    */
+  def crawlSitemap(seedUrls: Seq[String]): CrawlResult =
+    crawl(seedUrls, sitemapOnly = true)
+
   def crawl(seedUrls0: Seq[String], resumeFrom: Option[Checkpointer] = None,
-      sitemapChain: Boolean = false): CrawlResult = {
+      sitemapChain: Boolean = false, sitemapOnly: Boolean = false): CrawlResult = {
     // A2 — glob seed expansion (`features/glob.rs`, `website.rs:3875-3885`)
     val seedUrls = graft.url.Glob.expandSeeds(seedUrls0)
     require(seedUrls.nonEmpty, "need at least one seed")
@@ -614,6 +623,37 @@ class CrawlEngine(
       case None => frontier
     }
 
+    // A6 chain state: lowercased canonical URLs of every sitemap DOCUMENT
+    // (seed /sitemap.xml + recursively discovered <sitemapindex> locs) —
+    // drives budget exemption and the chain's expansion rule. Bounded by
+    // sitemap count, never by page count. Persisted in the checkpoint
+    // manifest so a chain-phase kill resumes mid-chain.
+    var chainStarted = false
+    val chainSitemapLower = scala.collection.mutable.Set.empty[String]
+    def seedSitemapUrls: Seq[String] = seedUrls.flatMap { s =>
+      val p = UrlOps.parseCrawlBase(s)
+      if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
+    }.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+
+    if (sitemapOnly) {
+      // A6 — sitemap-ONLY walk (reference `crawl_sitemap()`,
+      // `website.rs:6994-7028`): the link crawl never runs — the chain
+      // starts immediately from each seed's /sitemap.xml; seed pages are
+      // never fetched. Scope/budget/robots setup still derives from the
+      // seeds themselves.
+      chainStarted = true
+      val smSeen = scala.collection.mutable.Set.empty[String]
+      val canonSms = seedSitemapUrls.filter(u => smSeen.add(UrlOps.lowerUtf8(u)))
+      chainSitemapLower ++= canonSms.map(UrlOps.lowerUtf8)
+      val smEntries = canonSms.zipWithIndex.map { case (u, i) =>
+        FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
+      }.toVector
+      seqCounter = canonSms.length.toLong
+      if (frontierLocal.isDefined) frontierLocal = Some(smEntries.filter(gateDefaultLocal))
+      else frontier = robotsGate(listsGate(
+        spark.createDataset(smEntries).as[FrontierEntry])).toDF()
+    }
+
     val canonicalOrder = Seq(col("depth"), col("discovery_seq"), col("host"), col("url"))
 
     // --- resume: restore all loop state from the latest committed snapshot
@@ -657,6 +697,17 @@ class CrawlEngine(
         }
         strField("redirect_host").filter(_.nonEmpty)
           .foreach(rh => scope = scope.copy(redirectHost = rh))
+        // chain lineage: a kill during the sitemap chain resumes mid-chain
+        // (chain rules re-arm from the manifest's sitemap-doc set)
+        if (m.contains("\"chain_started\":true")) {
+          chainStarted = true
+          "\"chain_sitemaps\":\\[([^\\]]*)\\]".r.findFirstMatchIn(m).foreach { g =>
+            val body = g.group(1).trim
+            if (body.nonEmpty) chainSitemapLower ++= body.split(",").map(_.trim
+              .stripPrefix("\"").stripSuffix("\"")
+              .replace("\\\"", "\"").replace("\\\\", "\\"))
+          }
+        }
         epoch = e + 1
       }
     }
@@ -713,12 +764,6 @@ class CrawlEngine(
     var frontierCountPrev = frontierLocal.map(_.size.toLong).getOrElse(readyHist.values.sum)
     var done = frontierCountPrev == 0
     var epochCache: Option[DataFrame] = None // politeness rank cache, per epoch
-    // A6 chain state: lowercased canonical URLs of every sitemap DOCUMENT
-    // (seed /sitemap.xml + recursively discovered <sitemapindex> locs) —
-    // drives budget exemption and the chain's expansion rule. Bounded by
-    // sitemap count, never by page count.
-    var chainStarted = false
-    val chainSitemapLower = scala.collection.mutable.Set.empty[String]
 
     // tiny-epoch membership probes against the distributed stores — the
     // mirror-dropped fallback: ONE job over <= threshold keys
@@ -996,7 +1041,8 @@ class CrawlEngine(
         uniq.size.toLong, frontierCount, seenCount, budgetStopped,
         (System.nanoTime() - epochT0) / 1000000L)
       checkpoint.foreach(_.commit(epoch, frontierDf, seen, signatures, hostTokensDf(), pages,
-        seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
+        seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,
+        chainStarted, chainSitemapLower.toSeq.sorted))
       epoch += 1
       onEpoch.foreach(f => f(epoch - 1))
       done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs ||
@@ -1599,7 +1645,8 @@ class CrawlEngine(
           (System.nanoTime() - epochT0) / 1000000L)
 
         checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokensDf(), pages,
-          seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq))
+          seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,
+          chainStarted, chainSitemapLower.toSeq.sorted))
 
         epochCache.foreach(_.unpersist(false))
         epochCache = None
@@ -1699,9 +1746,10 @@ object CrawlEngine {
     */
   def resume(spark: SparkSession, config: CrawlConfig, fetcher: Fetcher,
       robots: RobotsProvider, ck: Checkpointer, seedUrls: Seq[String],
-      expectedUrls: Long = 4L * 1000 * 1000): CrawlResult =
+      expectedUrls: Long = 4L * 1000 * 1000,
+      sitemapChain: Boolean = false, sitemapOnly: Boolean = false): CrawlResult =
     new CrawlEngine(spark, config, fetcher, robots, expectedUrls, Some(ck))
-      .crawl(seedUrls, Some(ck))
+      .crawl(seedUrls, Some(ck), sitemapChain = sitemapChain, sitemapOnly = sitemapOnly)
 
   /** Normalized-content signature — the reference hashes `normalize_html`
     * output (markup minus volatile attrs/links, `utils/mod.rs:9221-9300`);

@@ -37,6 +37,7 @@ object OracleCrawler {
       seedUrls: Seq[String],
       retryPolicy: Option[graft.engine.RetryPolicy] = None,
       sitemapChain: Boolean = false,
+      sitemapOnly: Boolean = false,
       onLinkFind: Option[String => String] = None): OracleResult = {
     val linkRewrite: String => String = onLinkFind.orNull
     val retry = retryPolicy.getOrElse(new graft.engine.DefaultRetryPolicy(config.retryLimit))
@@ -107,6 +108,23 @@ object OracleCrawler {
     var chainStarted = false
     val chainSm = scala.collection.mutable.Set.empty[String]
     var pendingInbox = Vector.empty[String]
+    if (sitemapOnly) {
+      // sitemap-ONLY walk mirror (reference `crawl_sitemap()`,
+      // `website.rs:6994-7028`): the chain starts at epoch 0 from each
+      // seed's /sitemap.xml; seed pages are never fetched
+      chainStarted = true
+      val smSeen = scala.collection.mutable.Set.empty[String]
+      val canonSms = seedUrls
+        .flatMap(s => Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = "/sitemap.xml").serialize))
+        .flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+        .filter(u => smSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
+      chainSm ++= canonSms.map(_.toLowerCase(java.util.Locale.ROOT))
+      frontier = canonSms.zipWithIndex.map { case (u, i) =>
+        FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
+      }.toVector.filter(gateDefault)
+      seqCounter = canonSms.length.toLong
+      done = frontier.isEmpty
+    }
     var crawling = true
     while (crawling) {
     while (!done) {

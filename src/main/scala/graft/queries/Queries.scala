@@ -311,7 +311,21 @@ object Queries {
     val s = SitemapScenario
     val engine = new CrawlEngine(spark, s.config,
       new GenerativeFetcher(s.params), new CorpusRobots(s.params), expectedUrls = 10000)
-    engine.crawl(s.seeds, sitemapChain = true).pages
+    engine.crawlWithSitemap(s.seeds).pages
+      .select(col("url"), col("depth"), col("status"))
+  }
+
+  /** Sitemap-ONLY walk (reference `crawl_sitemap()`, `website.rs:6994-7028`)
+    * on the SitemapScenario corpus: entries come exclusively from
+    * /sitemap.xml + the nested /sitemap-deep.xml; no page's links expand
+    * and the seed page itself is fetched only if a sitemap lists it.
+    */
+  def crawlSitemapOnlyQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    val s = SitemapScenario
+    val engine = new CrawlEngine(spark, s.config,
+      new GenerativeFetcher(s.params), new CorpusRobots(s.params), expectedUrls = 10000)
+    engine.crawlSitemap(s.seeds).pages
       .select(col("url"), col("depth"), col("status"))
   }
 

@@ -79,8 +79,11 @@ object CrawlJob {
       expectedUrls = a.get("expected-urls").map(_.toLong).getOrElse(4000000L),
       checkpoint = ck)
     val res =
-      if (a.contains("resume") && ck.isDefined) engine.crawl(seeds, ck)
-      else engine.crawl(seeds, sitemapChain = a.contains("sitemap"))
+      if (a.contains("resume") && ck.isDefined)
+        engine.crawl(seeds, ck, sitemapChain = a.contains("sitemap"),
+          sitemapOnly = a.contains("sitemap-only"))
+      else engine.crawl(seeds, sitemapChain = a.contains("sitemap"),
+        sitemapOnly = a.contains("sitemap-only"))
 
     res.pages.write.mode("overwrite").parquet(s"$out/pages")
     res.seen.write.mode("overwrite").parquet(s"$out/seen")

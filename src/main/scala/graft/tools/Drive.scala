@@ -51,6 +51,10 @@ object Drive {
         new CorpusRobots(ss.params), ss.seeds, sitemapChain = true)
       println("SITEMAP_ROWS " + sitemap.pages.map(p =>
         s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
+      val smOnly = OracleCrawler.crawl(ss.params, ss.config,
+        new CorpusRobots(ss.params), ss.seeds, sitemapOnly = true)
+      println("SITEMAP_ONLY_ROWS " + smOnly.pages.map(p =>
+        s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
       return
     }
     if (args.headOption.contains("throttledrive")) {

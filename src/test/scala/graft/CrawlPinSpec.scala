@@ -56,4 +56,16 @@ class CrawlPinSpec extends AnyFunSuite {
     assert(live.exists(_.contains("p12.html")), "first-level sitemap orphan missing")
     assert(live.exists(_.contains("p22.html")), "nested-sitemap orphan missing")
   }
+
+  test("crawl_sitemap_only pins match a live OracleCrawler run (crawl_sitemap() mode)") {
+    val s = graft.queries.Queries.SitemapScenario
+    val res = OracleCrawler.crawl(s.params, s.config, new CorpusRobots(s.params),
+      s.seeds, sitemapOnly = true)
+    val live = res.pages.map(p => s"(${esc(p.url)},${p.depth},${p.status})")
+    assert(live == SparkEntry.crawlSitemapOnlyRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+    // no link expansion: both chain levels present, nothing deeper
+    assert(live.exists(_.contains("p22.html")), "nested-sitemap entry missing")
+    assert(res.pages.forall(_.depth <= 2), "sitemap-only must never expand links")
+  }
 }

@@ -315,6 +315,34 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     assertParity(er, or)
   }
 
+  test("sitemap-ONLY mode walks sitemaps instead of the link crawl (crawl_sitemap(), website.rs:6994)") {
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5)
+    val robots = new CorpusRobots(params)
+    spark.sparkContext.setLogLevel("ERROR")
+    val or = OracleCrawler.crawl(params, CrawlConfig(maxEpochs = 60), robots,
+      Seq("https://www.site0.com/"), sitemapOnly = true)
+    // entries come ONLY from the sitemaps: no entry page's links expand, so
+    // every page is listed in a sitemap (depth never exceeds entry depth)
+    assert(or.pages.nonEmpty, "sitemap-only walk found no pages")
+    assert(!or.pages.exists(_.url.contains("sitemap")), "sitemap XML emitted as a page")
+    // the seed root page is NOT fetched unless a sitemap lists it
+    val chained = OracleCrawler.crawl(params, CrawlConfig(maxEpochs = 60), robots,
+      Seq("https://www.site0.com/"), sitemapChain = true)
+    assert(or.pages.size < chained.pages.size,
+      "sitemap-only should fetch strictly fewer pages than crawl+chain")
+    for (threshold <- Seq(4096, 0)) {
+      val er = new CrawlEngine(spark,
+        CrawlConfig(maxEpochs = 60, smallEpochThreshold = threshold),
+        new GenerativeFetcher(params), robots, expectedUrls = 100000L)
+        .crawlSitemap(Seq("https://www.site0.com/"))
+      val ePages = er.pages.select("url", "depth", "discovery_seq", "status").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      val oPages = or.pages.map(p => (p.url, p.depth, p.seq, p.status)).toSet
+      assert(ePages == oPages, s"sitemap-only diverged at threshold=$threshold: " +
+        s"engine-only=${(ePages -- oPages).take(5)} oracle-only=${(oPages -- ePages).take(5)}")
+    }
+  }
+
   test("B11 veto does not suppress sitemap-doc expansion in the chain (veto+chain)") {
     // the veto hits ONLY chain-phase sitemap docs (no sitemap URL is
     // fetched in the main phase); the reference parses sitemaps outside

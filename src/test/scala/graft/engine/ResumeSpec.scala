@@ -64,6 +64,39 @@ class ResumeSpec extends AnyFunSuite {
     assert(fullSeen == resSeen)
   }
 
+  test("kill DURING the sitemap chain resumes mid-chain (chain lineage in the manifest)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5)
+    val cfg = CrawlConfig(maxEpochs = 60)
+    def eng(c: CrawlConfig, ck: Option[Checkpointer] = None) =
+      new CrawlEngine(spark, c, new GenerativeFetcher(params), new CorpusRobots(params),
+        expectedUrls = 10000, checkpoint = ck)
+    // main-phase length = epochs of the SAME crawl without the chain
+    val mainEpochs = eng(cfg).crawl(Seq("https://www.site0.com/")).epochs
+    val full = eng(cfg).crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    assert(full.epochs > mainEpochs + 1, "chain phase too short to interrupt")
+    // interrupt two epochs INTO the chain phase
+    val dir = Files.createTempDirectory("graft_ckpt4").toString
+    val ck = new Checkpointer(spark, dir, every = 1)
+    eng(cfg.copy(maxEpochs = mainEpochs.toInt + 2), Some(ck))
+      .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    val manifest = ck.readManifest(ck.latestEpoch())
+    assert(manifest.contains("\"chain_started\":true"),
+      "interrupted run never entered the chain phase")
+    assert(manifest.contains("sitemap"), "chain sitemap set missing from manifest")
+    val resumed = CrawlEngine.resume(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), ck, Seq("https://www.site0.com/"),
+      expectedUrls = 10000, sitemapChain = true)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "depth", "discovery_seq", "status", "signature")
+        .collect().map(_.toSeq).toSet
+    assert(key(resumed.pages) == key(full.pages),
+      s"resumed=${resumed.pages.count()} full=${full.pages.count()}")
+    val fullSeen = full.seen.select("url_lower").collect().map(_.getString(0)).toSet
+    val resSeen = resumed.seen.select("url_lower").collect().map(_.getString(0)).toSet
+    assert(fullSeen == resSeen)
+  }
+
   test("resume ACROSS a compaction boundary of the co-partitioned stores") {
     spark.sparkContext.setLogLevel("ERROR")
     // compaction every 2 epochs + politeness pacing (~8+ epochs): the

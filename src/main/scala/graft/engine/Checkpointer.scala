@@ -41,7 +41,8 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
     val metricsJson = metrics.map(m =>
       s"""{"epoch":${m.epoch},"candidates":${m.candidates},"admitted":${m.admitted},""" +
       s""""fetched":${m.fetched},"new_links":${m.new_links},"frontier":${m.frontier_size},""" +
-      s""""seen":${m.seen_size},"budget_stopped":${m.budget_stopped}}""").mkString("[", ",", "]")
+      s""""seen":${m.seen_size},"budget_stopped":${m.budget_stopped},""" +
+      s""""robots_blocked":${m.robots_blocked},"vetoed":${m.vetoed}}""").mkString("[", ",", "]")
     // chain lineage (A6): a kill during the sitemap chain must resume
     // mid-chain, not degrade to a plain crawl — chainSitemaps carries every
     // sitemap DOC discovered so far (seed /sitemap.xml + recursive

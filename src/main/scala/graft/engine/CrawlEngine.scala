@@ -865,8 +865,16 @@ class CrawlEngine(
           val present = probeSeenPresent(readyV.map(e => UrlOps.lowerUtf8(e.url)))
           readyV.filterNot(e => present.contains(UrlOps.lowerUtf8(e.url)))
         }
-      // B2/B3/B4/B6 stateless gates
-      val gated0 = unseenV.filter(gateDefaultLocal).filter { e =>
+      // B2/B3/B4/B6 stateless gates; robots-blocked candidates counted for
+      // the blocked side output (reference on_robots_blocked) — free here
+      val listsPassV = unseenV.filter(e =>
+        (config.whitelist.isEmpty || listedLocal(config.whitelist, e.url)) &&
+          (config.blacklist.isEmpty || !listedLocal(config.blacklist, e.url)))
+      val robotsPassV =
+        if (!config.respectRobotsTxt) listsPassV
+        else listsPassV.filter(e => robots.policyFor(e.host).canFetch(config.userAgent, e.url))
+      val robotsBlockedCount = (listsPassV.size - robotsPassV.size).toLong
+      val gated0 = robotsPassV.filter { e =>
         config.depth <= 0 || UrlOps.pathDepth(e.url) <= depthDistance
       }
       // B9 politeness (shared walk — identical ledgers to the distributed
@@ -991,6 +999,7 @@ class CrawlEngine(
         case Some(veto) => parsedV.filter(veto)
         case None => parsedV
       }
+      val vetoedCount = (parsedV.length - afterVeto.length).toLong
       var expandingV: Seq[ParsedPage] = Vector.empty
       if (chainStarted) {
         val smDocs = parsedV.filter(p =>
@@ -1039,7 +1048,7 @@ class CrawlEngine(
         compactStores()
       metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
         uniq.size.toLong, frontierCount, seenCount, budgetStopped,
-        (System.nanoTime() - epochT0) / 1000000L)
+        (System.nanoTime() - epochT0) / 1000000L, robotsBlockedCount, vetoedCount)
       checkpoint.foreach(_.commit(epoch, frontierDf, seen, signatures, hostTokensDf(), pages,
         seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,
         chainStarted, chainSitemapLower.toSeq.sorted))
@@ -1164,9 +1173,16 @@ class CrawlEngine(
         //    window), so the per-epoch dedup window round 1 ran here is a
         //    no-op shuffle — removed.
 
-        // 3. stateless gates: lists, robots, depth
-        val gated0 = depthGate(
-          robotsGate(listsGate(unseen.drop("url_lower").as[FrontierEntry])), depthDistance).toDF()
+        // 3. stateless gates: lists, robots, depth. The robots-blocked side
+        // output (reference on_robots_blocked) is opt-in here: counting it
+        // re-executes the lazy gate prefix twice
+        val listsPass = listsGate(unseen.drop("url_lower").as[FrontierEntry])
+        val robotsPass = robotsGate(listsPass)
+        val robotsBlockedCount =
+          if (config.trackBlocked && config.respectRobotsTxt)
+            listsPass.count() - robotsPass.count()
+          else 0L
+        val gated0 = depthGate(robotsPass, depthDistance).toDF()
 
         // 4. B9 politeness FIRST: per-host token-bucket quota, highest
         //    priority first (D5 top-k per host); non-admitted stay in the
@@ -1405,10 +1421,20 @@ class CrawlEngine(
         // delay := Retry-After, bucket drained); latency EMA feeds the
         // auto-throttle (auto_throttle.rs: delay ≈ ema/target_concurrency)
         if (politenessOn) {
-          // ONE per-host aggregate feeds both reactive signals
-          val signals = parsed.toDF().groupBy(col("host")).agg(
+          // ONE per-host aggregate feeds both reactive signals. Collected
+          // rows are BOUNDED (round-3 verdict #8): with auto-throttle off,
+          // only hosts that actually returned a 429 reach the driver; with
+          // it on, the collect caps at the ledger's LRU capacity by
+          // per-epoch traffic (hosts beyond it would be evicted anyway)
+          val sigBase =
+            if (config.autoThrottle) parsed.toDF()
+            else parsed.toDF().filter(col("status") === 429 && col("retry_after_ms") > 0)
+          val signals = sigBase.groupBy(col("host")).agg(
             max(when(col("status") === 429, col("retry_after_ms")).otherwise(lit(0L))).as("__ra"),
-            avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"))
+            avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"),
+            count(lit(1)).as("__n"))
+            .orderBy(col("__n").desc, col("host"))
+            .limit(100000)
             .collect()
           val drained = signals.filter(_.getLong(1) > 0)
           drained.foreach { r =>
@@ -1456,6 +1482,10 @@ class CrawlEngine(
           case Some(veto) => parsed.filter(veto) // B11: vetoed pages don't expand
           case None => parsed
         }).toDF()
+        val vetoedCount =
+          if (config.trackBlocked && onShouldCrawl.isDefined)
+            parsed.count() - expanding.count() // two column-pruned delta reads, opt-in
+          else 0L
         if (chainStarted) {
           // chain phase: ONLY sitemap docs expand — their <loc> entries
           // plus recursive <sitemapindex> locs; entry pages are recorded
@@ -1642,7 +1672,7 @@ class CrawlEngine(
 
         metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
           newLinkCount, frontierCount, seenCount, budgetStopped,
-          (System.nanoTime() - epochT0) / 1000000L)
+          (System.nanoTime() - epochT0) / 1000000L, robotsBlockedCount, vetoedCount)
 
         checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokensDf(), pages,
           seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,

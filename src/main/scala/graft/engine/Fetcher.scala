@@ -73,6 +73,55 @@ final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) exte
   }
 }
 
+/** A-side `seed_html` seam (reference `Website::with_seed_html`
+  * `website.rs:1304`, consumed in `_crawl_establish`
+  * `website.rs:4104-4360`): caller-supplied fetch results for specific
+  * URLs — those URLs are NEVER fetched; the crawl starts from the provided
+  * content (links extracted, gates applied) while every other URL
+  * delegates to `inner`. The seeded map is broadcast (seed sets are tiny
+  * by contract); frontier bookkeeping fields are taken from the admitted
+  * entry, content fields from the provided result.
+  */
+final class SeededFetcher(inner: Fetcher, seeded: Map[String, FetchResult]) extends Fetcher {
+  override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(seeded)
+    val hit = admitted.filter(e => bc.value.contains(e.url)).map { e =>
+      val c = bc.value(e.url)
+      c.copy(url = e.url, host = e.host, depth = e.depth,
+        discovery_seq = e.discovery_seq, priority = e.priority, attempt = e.attempt,
+        f_final_url = if (c.f_final_url == null) e.url else c.f_final_url)
+    }
+    val miss = admitted.filter(e => !bc.value.contains(e.url))
+    hit.unionByName(inner.fetch(spark, miss))
+  }
+}
+
+/** C9 — ETag conditional revalidation (reference `utils/etag_cache.rs`,
+  * applied `website.rs:7979-7990`): `cache` holds the previously-fetched
+  * result per URL (keyed by the URL, carrying its ETag) and stands in for
+  * an If-None-Match header store. When the inner fetch answers **304 Not
+  * Modified**, the cached body is reused — the emitted row is identical to
+  * an unconditional re-fetch of unchanged content (status/spans/charset/
+  * etag from the cache, bookkeeping from the live entry). A 304 with no
+  * cache entry passes through untouched (the engine's retry ladder treats
+  * it as a non-retryable status).
+  */
+final class RevalidatingFetcher(inner: Fetcher, cache: Map[String, FetchResult]) extends Fetcher {
+  override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cache)
+    inner.fetch(spark, admitted).map { f =>
+      if (f.f_status != 304) f
+      else bc.value.get(f.url).map { c =>
+        c.copy(url = f.url, host = f.host, depth = f.depth,
+          discovery_seq = f.discovery_seq, priority = f.priority, attempt = f.attempt,
+          f_retry_after_ms = f.f_retry_after_ms, f_latency_ms = f.f_latency_ms)
+      }.getOrElse(f)
+    }
+  }
+}
+
 /** Fetches by joining the admitted batch against a corpus TABLE in
   * input_hint shape (`doc_id, spans` + sidecars) — the production path when
   * documents live in a real table. Redirect chains resolve via bounded

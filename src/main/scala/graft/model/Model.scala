@@ -156,7 +156,13 @@ final case class CrawlConfig(
     // driver-side in one job instead of the distributed two-pass (identical
     // canonical order; the two-pass costs ~4 driver barriers that dwarf the
     // milliseconds of work at this size). 0 disables the fast path.
-    smallEpochThreshold: Int = 4096
+    smallEpochThreshold: Int = 4096,
+    // blocked-row side outputs (reference `on_robots_blocked`
+    // `website.rs:1980-1982` / `blocked_crawl` `page.rs:2446`): surface
+    // robots-blocked candidate and vetoed page counts in EpochMetrics.
+    // On the distributed path this costs two extra count jobs per epoch,
+    // so it is opt-in; the small-epoch fast path counts them for free.
+    trackBlocked: Boolean = false
 ) {
   /** Effective wildcard budgeting flag (`determine_limits` `website.rs:14068-14075`). */
   def wildCardBudgeting: Boolean = budget.contains("*")
@@ -180,5 +186,13 @@ final case class EpochMetrics(
     frontier_size: Long,
     seen_size: Long,
     budget_stopped: Boolean,
-    wall_ms: Long = 0L
+    wall_ms: Long = 0L,
+    /** candidates that passed the lists gate but were refused by robots
+      * this epoch (reference `on_robots_blocked` callback parity);
+      * populated always on the fast path, under `trackBlocked` on the
+      * distributed path. */
+    robots_blocked: Long = 0L,
+    /** fetched pages whose expansion the B11 veto suppressed
+      * (reference `blocked_crawl`); same population rule. */
+    vetoed: Long = 0L
 )

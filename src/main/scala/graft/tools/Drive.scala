@@ -278,6 +278,45 @@ object Drive {
       }
       spark.stop(); return
     }
+    if (args.headOption.contains("seams")) {
+      // drive the seed_html + ETag seams end-to-end through the engine
+      import graft.corpus.CorpusParams
+      import graft.engine._
+      import graft.model.{CrawlConfig, FrontierEntry, Span}
+      val spark = session(4)
+      import spark.implicits._
+      val params = CorpusParams(hosts = 2, pagesPerHost = 40)
+      val gen = new GenerativeFetcher(params)
+      val seed = "https://www.site0.com/"
+      val seeded = Map(seed -> FetchResult(seed, "www.site0.com", 0, 0L, 0, 0, 200, seed,
+        Array(Span("title", "Seeded", null, 0), Span("link", null, "/p1.html", 1))))
+      val r1 = new CrawlEngine(spark, CrawlConfig(maxEpochs = 10),
+        new SeededFetcher(gen, seeded), new CorpusRobots(params), expectedUrls = 10000)
+        .crawl(Seq(seed))
+      println("SEAMS seeded_pages=" + r1.pages.count() + " seeded_title=" +
+        r1.pages.filter($"url" === seed).select("title").collect().head.getString(0))
+      val base = new CrawlEngine(spark, CrawlConfig(maxEpochs = 20), gen,
+        new CorpusRobots(params), expectedUrls = 10000).crawl(Seq(seed))
+      val urls = base.seen.select("url").collect().map(_.getString(0))
+      val cache = gen.fetch(spark, spark.createDataset(urls.zipWithIndex.map { case (u, i) =>
+        FrontierEntry(u, graft.url.UrlOps.host(u), 0, i.toLong, 0, 0, 0L) }.toIndexedSeq))
+        .collect().map(f => f.url -> f).toMap
+      val nm = new Fetcher {
+        override def fetch(spark: org.apache.spark.sql.SparkSession,
+            admitted: org.apache.spark.sql.Dataset[FrontierEntry]) = {
+          import spark.implicits._
+          admitted.map(e => FetchResult(e.url, e.host, e.depth, e.discovery_seq,
+            e.priority, e.attempt, 304, e.url, Array.empty))
+        }
+      }
+      val r2 = new CrawlEngine(spark, CrawlConfig(maxEpochs = 20),
+        new RevalidatingFetcher(nm, cache), new CorpusRobots(params),
+        expectedUrls = 10000).crawl(Seq(seed))
+      println("SEAMS base_pages=" + base.pages.count() + " reval_pages=" + r2.pages.count() +
+        " equal=" + (base.pages.select("url", "signature").collect().map(_.toSeq).toSet ==
+          r2.pages.select("url", "signature").collect().map(_.toSeq).toSet))
+      spark.stop(); return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

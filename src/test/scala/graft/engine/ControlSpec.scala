@@ -80,11 +80,15 @@ class ControlSpec extends AnyFunSuite {
     // reachable via the sitemap (e.g. p38 with fanout 4 tree from root is
     // reachable anyway, so compare WITH vs WITHOUT sitemap on seen size)
     val plain = engine().crawl(Seq("https://www.site0.com/"))
-    val withSm = engine().crawlSitemap(Seq("https://www.site0.com/"))
+    val withSm = engine().crawlWithSitemap(Seq("https://www.site0.com/"))
     val plainSeen = plain.seen.count()
     val smSeen = withSm.seen.count()
     assert(smSeen >= plainSeen + 1, s"sitemap added nothing: $plainSeen -> $smSeen")
     assert(withSm.seen.collect().map(_.getString(0)).exists(_.endsWith("/sitemap.xml")))
+    // sitemap-ONLY mode (reference crawl_sitemap()): strictly fewer pages,
+    // no link expansion beyond the sitemap listings
+    val only = engine().crawlSitemap(Seq("https://www.site0.com/"))
+    assert(only.pages.count() < withSm.pages.count())
   }
 
   test("shutdown request stops the crawl gracefully (D9)") {
@@ -237,5 +241,94 @@ class ControlSpec extends AnyFunSuite {
     val engUrls = withNever.pages.collect().map(r => (r.getString(0), r.getAs[Int]("status"))).toSet
     val oraUrls = oracleNever.pages.map(p => (p.url, p.status)).toSet
     assert(engUrls == oraUrls, "custom-policy differential mismatch")
+  }
+
+  test("seed_html seam: seeded content crawled without fetching the seed (website.rs:1304)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // the seeded result replaces the seed fetch entirely: its links are the
+    // whole frontier, and the inner fetcher must never see the seed URL
+    val seed = "https://www.site0.com/"
+    val seededSpans = Array(
+      graft.model.Span("title", "Seeded", null, 0),
+      graft.model.Span("text", "hand-written seed html", null, 1),
+      graft.model.Span("link", null, "/p1.html", 2),
+      graft.model.Span("link", null, "/p5.html", 3))
+    val seeded = Map(seed -> FetchResult(seed, "www.site0.com", 0, 0L, 0, 0,
+      200, seed, seededSpans))
+    val inner = new GenerativeFetcher(params)
+    val spyFetched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val spy = new Fetcher {
+      override def fetch(spark: SparkSession, admitted: org.apache.spark.sql.Dataset[graft.model.FrontierEntry]) = {
+        admitted.collect().foreach(e => spyFetched.add(e.url))
+        inner.fetch(spark, admitted)
+      }
+    }
+    val eng = new CrawlEngine(spark, CrawlConfig(maxEpochs = 20),
+      new SeededFetcher(spy, seeded), new CorpusRobots(params), expectedUrls = 10000)
+    val res = eng.crawl(Seq(seed))
+    import scala.jdk.CollectionConverters._
+    assert(!spyFetched.asScala.toSet.contains(seed), "seed URL reached the network fetcher")
+    val pages = res.pages.select("url", "title").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    assert(pages(seed) == "Seeded", "seeded content not recorded as the seed page")
+    assert(pages.contains("https://www.site0.com/p1.html") &&
+      pages.contains("https://www.site0.com/p5.html"),
+      "links of the seeded html were not crawled")
+  }
+
+  test("ETag 304 revalidation reuses the cached page row (etag_cache.rs contract)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val gen = new GenerativeFetcher(params)
+    val cfg = CrawlConfig(maxEpochs = 20)
+    // baseline: unconditional fetches
+    val base = new CrawlEngine(spark, cfg, gen, new CorpusRobots(params),
+      expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "status", "signature", "title", "etag")
+        .collect().map(_.toSeq).toSet
+    val baseKeys = key(base.pages)
+    // build the revalidation cache: one prior fetch of every visited URL
+    val visited = base.seen.select("url").collect().map(_.getString(0))
+    val entries = visited.zipWithIndex.map { case (u, i) =>
+      graft.model.FrontierEntry(u, graft.url.UrlOps.host(u), 0, i.toLong, 0, 0, 0L) }
+    val cache = gen.fetch(spark, spark.createDataset(entries.toIndexedSeq))
+      .collect().map(f => f.url -> f).toMap
+    // a server that answers 304 for every cached URL (If-None-Match hit)
+    val notModified = new Fetcher {
+      override def fetch(spark: SparkSession, admitted: org.apache.spark.sql.Dataset[graft.model.FrontierEntry]) = {
+        import spark.implicits._
+        val known = spark.sparkContext.broadcast(cache.keySet)
+        val hit = admitted.filter(e => known.value.contains(e.url)).map(e =>
+          FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt,
+            304, e.url, Array.empty))
+        hit.unionByName(gen.fetch(spark, admitted.filter(e => !known.value.contains(e.url))))
+      }
+    }
+    val revalidated = new CrawlEngine(spark, cfg,
+      new RevalidatingFetcher(notModified, cache), new CorpusRobots(params),
+      expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    assert(key(revalidated.pages) == baseKeys,
+      "304-revalidated crawl must equal the unconditional crawl exactly")
+  }
+
+  test("blocked side outputs: robots-blocked and vetoed counts in EpochMetrics") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // host1 robots disallows /legal/ -> blocked candidates counted; the veto
+    // suppresses expansion of /docs/ pages -> vetoed counted. Both paths:
+    // fast (default threshold, free) and distributed (trackBlocked=true).
+    for (threshold <- Seq(4096, 0)) {
+      val cfg = CrawlConfig(respectRobotsTxt = true, maxEpochs = 30,
+        trackBlocked = true, smallEpochThreshold = threshold)
+      val res = new CrawlEngine(spark, cfg, new GenerativeFetcher(params),
+        new CorpusRobots(params), expectedUrls = 10000,
+        onShouldCrawl = Some(p => !p.url.contains("/docs/")))
+        .crawl(Seq("https://www.site1.com/"))
+      assert(res.metrics.map(_.robots_blocked).sum > 0,
+        s"no robots-blocked candidates surfaced (threshold=$threshold)")
+      assert(res.metrics.map(_.vetoed).sum > 0,
+        s"no vetoed pages surfaced (threshold=$threshold)")
+      assert(!res.pages.collect().exists(_.getString(0).startsWith("https://www.site1.com/legal/")))
+    }
   }
 }

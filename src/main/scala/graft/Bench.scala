@@ -238,11 +238,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
-    // default sized so the full driver-run bench (31 queries at sf0.1 +
-    // best-of-2 crawl children at N/4N + skew) stays within ~12 min, while
+    // default sized so the full driver-run bench (34 queries at sf0.1 +
+    // best-of-3 crawl children at N/4N + skew) stays within ~12 min, while
     // keeping epochs big enough that parallel work dominates the per-epoch
-    // driver fixed cost (set SPARK_GRAFT_BENCH_PAGES to scale)
-    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "80000").toInt
+    // driver fixed cost (set SPARK_GRAFT_BENCH_PAGES to scale). The host
+    // shows minutes-long contention episodes with multi-x slowdowns;
+    // SHORTER runs x more trials land a clean window more often than one
+    // long run, and "sustained" already excludes the ramp epochs.
+    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toInt
 
     // child mode: run one isolated crawl and exit
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
@@ -277,7 +280,7 @@ object Bench {
     if (!skipCrawl) {
       // best-of-N trials: the sandbox VM shows multi-x run-to-run noise
       // (shared host); best-of is the standard noise-robust protocol
-      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
+      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
       def best(mode: String) =
         (1 to trials).map(_ => childRun(mode, pph))
           .maxBy(r => r.sustainedPages / math.max(r.sustainedSecs, 0.001))

@@ -16,6 +16,7 @@ import org.apache.spark.sql.SparkSession
   *   [--delay-ms 500] [--external '*'] [--checkpoint /data/ck --every 5]
   *   [--resume] [--max-epochs 100] [--hosts 16 --pages-per-host 1000]
   *   [--sitemap]                       # chain the sitemap walk after the crawl
+  *   [--sitemap-only]                  # walk sitemaps INSTEAD of the link crawl
   * }}}
   *
   * Writes `pages/`, `seen/`, `frontier_remainder/` parquet under `--out`

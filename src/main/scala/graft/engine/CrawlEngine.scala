@@ -160,9 +160,25 @@ class CrawlEngine(
     val parts = math.max(1, math.min(P, 200))
     val sorted = df.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = sorted.schema.add(outName, LongType, nullable = false)
-    val withSeq = timed("zipWithIndex")(sorted.rdd.zipWithIndex())
-      .map { case (row, i) => Row.fromSeq(row.toSeq :+ (i + offset)) }
-    spark.createDataFrame(withSeq, schema)
+    // InternalRow end-to-end (same rationale as the link-seq path): the old
+    // Dataset.rdd + zipWithIndex + createDataFrame bridge deserialized and
+    // re-encoded every row; count + JoinedRow stamp touch zero row bytes,
+    // and the two jobs share the sort shuffle via the stable RDD instance
+    val sortedRdd = org.apache.spark.sql.GraftSqlBridge.internalRdd(sorted)
+    val counts = timed("zipWithIndex")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
+    }.collect().sortBy(_._1).map(_._2))
+    val offsets = counts.scanLeft(offset)(_ + _)
+    val withSeq = sortedRdd.mapPartitionsWithIndex { (i, it) =>
+      var k = offsets(i)
+      val cell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+      val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+      it.map { r =>
+        cell.update(0, k); k += 1
+        joined(r, cell): org.apache.spark.sql.catalyst.InternalRow
+      }
+    }
+    org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark, withSeq, schema)
   }
 
   // ---------------------------------------------------------------------
@@ -1299,8 +1315,10 @@ class CrawlEngine(
             for (k <- keys) {
               val rem = pathBudget(k)
               val matches = cur.withColumn("__m", array_contains(col("__prefixes"), k))
-              val flags = matches.select(col("__m"), col("__grank"))
-              val perPart = flags.rdd.mapPartitionsWithIndex { (i, it) =>
+              // InternalRow scans: two primitive columns, no Row bridge
+              val flags = org.apache.spark.sql.GraftSqlBridge
+                .internalRdd(matches.select(col("__m"), col("__grank")))
+              val perPart = flags.mapPartitionsWithIndex { (i, it) =>
                 var n = 0L
                 it.foreach(r => if (r.getBoolean(0)) n += 1)
                 Iterator.single((i, n))
@@ -1313,7 +1331,7 @@ class CrawlEngine(
                 val cums = perPart.scanLeft(0L)(_ + _) // cums(p) = matches before partition p
                 val pStar = cums.indexWhere(_ > rem) - 1 // partition holding the first rejected match
                 val allowance = rem - cums(pStar)
-                val cutoff = flags.rdd.mapPartitionsWithIndex { (i, it) =>
+                val cutoff = flags.mapPartitionsWithIndex { (i, it) =>
                   if (i != pStar) Iterator.empty
                   else {
                     var seen = 0L

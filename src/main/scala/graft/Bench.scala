@@ -313,11 +313,11 @@ object Bench {
       val n4 = benchN * 4
       val phaseKeys = (rN.phases.keySet ++ r4N.phases.keySet).toSeq
         .sortBy(k => -rN.phases.getOrElse(k, 0.0))
-      // rows carry a doubled leading pipe: the markdown template below is
-      // stripMargin'd, which consumes the first
+      // plain single-pipe rows, substituted AFTER stripMargin (margin
+      // stripping on interpolated rows previously doubled the first pipe)
       val phaseTable = phaseKeys.map { k =>
         val a = rN.phases.getOrElse(k, 0.0); val b = r4N.phases.getOrElse(k, 0.0)
-        f"|| $k | $a%.1f | $b%.1f | ${a / math.max(b, 0.001)}%.2f |"
+        f"| $k | $a%.1f | $b%.1f | ${a / math.max(b, 0.001)}%.2f |"
       }.mkString("\n")
       val phaseJson = phaseKeys.map { k =>
         f""""$k":[${rN.phases.getOrElse(k, 0.0)}%.2f,${r4N.phases.getOrElse(k, 0.0)}%.2f]"""
@@ -375,7 +375,7 @@ object Bench {
            |
            || phase | N | 4N | speedup (N÷4N; 4.0 = perfect) |
            ||---|---|---|---|
-           |$phaseTable
+           |@PHASE_TABLE@
            |
            |`epoch_total` minus the listed phases is driver-side plan/codegen
            |work. Phases with speedup ~1 are at the host's bandwidth wall
@@ -393,7 +393,7 @@ object Bench {
            |
            |Reference single-node numbers in BASELINE.md (185-page site in
            |73ms incl. network ~= 2.5k URLs/s scheduling rate).
-           |""".stripMargin
+           |""".stripMargin.replace("@PHASE_TABLE@", phaseTable)
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     }

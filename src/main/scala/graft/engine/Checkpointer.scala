@@ -83,3 +83,19 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
   def readManifest(epoch: Long): String =
     Files.readString(root.resolve(s"epoch_$epoch").resolve("manifest.json"))
 }
+
+object Checkpointer {
+  /** Parse the chain lineage out of a manifest. URLs may legally contain
+    * commas and brackets, so the array is walked as JSON quoted strings
+    * (matching the writer's `q()` escaping) — never split on ','.
+    */
+  def chainState(manifest: String): (Boolean, Seq[String]) = {
+    val started = manifest.contains("\"chain_started\":true")
+    val sms = "\"chain_sitemaps\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\"(?:,)?)*)\\]".r
+      .findFirstMatchIn(manifest).map(_.group(1)).map { body =>
+        "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+      }.getOrElse(Nil)
+    (started, sms)
+  }
+}

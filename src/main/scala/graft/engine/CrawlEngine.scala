@@ -590,7 +590,7 @@ class CrawlEngine(
     val seedSeen = scala.collection.mutable.Set.empty[String]
     val canonSeeds = seedUrls.flatMap { s =>
       val c = UrlOps.convertAbsPath(s, s); if (c == null) None else Some(c)
-    }.filter(u => seedSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
+    }.filter(u => seedSeen.add(UrlOps.lowerUtf8(u)))
     val seedEntries = canonSeeds.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
     }.toVector
@@ -714,15 +714,12 @@ class CrawlEngine(
         strField("redirect_host").filter(_.nonEmpty)
           .foreach(rh => scope = scope.copy(redirectHost = rh))
         // chain lineage: a kill during the sitemap chain resumes mid-chain
-        // (chain rules re-arm from the manifest's sitemap-doc set)
-        if (m.contains("\"chain_started\":true")) {
+        // (chain rules re-arm from the manifest's sitemap-doc set; parsed
+        // as JSON quoted strings — URLs may contain ',' and ']')
+        val (ckChainStarted, ckChainSms) = Checkpointer.chainState(m)
+        if (ckChainStarted) {
           chainStarted = true
-          "\"chain_sitemaps\":\\[([^\\]]*)\\]".r.findFirstMatchIn(m).foreach { g =>
-            val body = g.group(1).trim
-            if (body.nonEmpty) chainSitemapLower ++= body.split(",").map(_.trim
-              .stripPrefix("\"").stripSuffix("\"")
-              .replace("\\\"", "\"").replace("\\\\", "\\"))
-          }
+          chainSitemapLower ++= ckChainSms
         }
         epoch = e + 1
       }
@@ -753,16 +750,11 @@ class CrawlEngine(
       val hosts = (throttleOverrideMs.keySet.asScala ++ latencyEma.keySet.asScala ++
         hostTokensMap.keySet.asScala).toSet.toSeq
       val rows = hosts.map { h =>
-        val thr = Option(throttleOverrideMs.get(h)).map(_.longValue).getOrElse(0L)
-        val emaDelay =
-          if (!config.autoThrottle) 0L
-          else Option(latencyEma.get(h)).map { e =>
-            math.min(config.autoThrottleMaxDelayMs,
-              math.max(config.autoThrottleMinDelayMs,
-                (e.doubleValue / config.autoThrottleTargetConcurrency).toLong))
-          }.getOrElse(0L)
+        val ov = Sequential.reactiveOverrideMs(config,
+          Option(throttleOverrideMs.get(h)).map(_.longValue).getOrElse(0L),
+          Option(latencyEma.get(h)).map(_.doubleValue))
         val tokens = Option(hostTokensMap.get(h)).map(_.longValue).getOrElse(1000L)
-        (h, math.max(thr, emaDelay), tokens)
+        (h, ov, tokens)
       }
       if (rows.isEmpty)
         spark.emptyDataset[(String, Long, Long)].toDF("host", "override_ms", "tokens_milli")
@@ -898,20 +890,12 @@ class CrawlEngine(
       var polAdmitted = gated0
       var deferredV = Vector.empty[FrontierEntry]
       if (politenessPossible) {
-        def overrideMsLocal(host: String): Long = {
-          val thr = Option(throttleOverrideMs.get(host)).map(_.longValue).getOrElse(0L)
-          val ema =
-            if (!config.autoThrottle) 0L
-            else Option(latencyEma.get(host)).map { e =>
-              math.min(config.autoThrottleMaxDelayMs,
-                math.max(config.autoThrottleMinDelayMs,
-                  (e.doubleValue / config.autoThrottleTargetConcurrency).toLong))
-            }.getOrElse(0L)
-          math.max(thr, ema)
-        }
         def delayOf(host: String): Long = {
           val rd = if (config.respectRobotsTxt) robots.politenessDelayMs(host, config.userAgent) else 0L
-          math.max(math.max(config.delayMs, rd), overrideMsLocal(host))
+          math.max(math.max(config.delayMs, rd),
+            Sequential.reactiveOverrideMs(config,
+              Option(throttleOverrideMs.get(host)).map(_.longValue).getOrElse(0L),
+              Option(latencyEma.get(host)).map(_.doubleValue)))
         }
         val (a, d) = Sequential.politenessAdmit(gated0, config, epoch, delayOf,
           h => Option(hostTokensMap.get(h)).map(_.longValue),
@@ -994,10 +978,16 @@ class CrawlEngine(
         seenDeltaRdd = spark.sparkContext.union(seenDeltaRdd, d)
         seenRddEpochs += 1
       }
-      // C6 scope re-anchor on epoch-0 cross-host redirect
-      if (epoch == 0L)
-        keep.find(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
-          .foreach(f => scope = scope.copy(redirectHost = UrlOps.host(f.f_final_url)))
+      // C6 scope re-anchor on epoch-0 cross-host redirect (canonical-min
+      // winner, shared with the distributed path and the oracle)
+      if (epoch == 0L) {
+        val cands = keep.filter(f =>
+          f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
+        if (cands.nonEmpty) {
+          val w = cands.minBy(f => (f.depth, f.discovery_seq, f.host, f.url))(Sequential.keyOrder)
+          scope = scope.copy(redirectHost = UrlOps.host(w.f_final_url))
+        }
+      }
       // C1-C4/C8 parse (shared pure function) + A7 page-sink delta
       val lrw = onLinkFind.orNull
       val sc = scope
@@ -1058,10 +1048,15 @@ class CrawlEngine(
       val frontierCount = frontierLocal.get.size.toLong
       frontierCountPrev = frontierCount
       // store hygiene: with the mirrors gone the per-epoch probe jobs walk
-      // the delta chains — compact on the usual cadence; with mirrors live
-      // the chains stay lazy until a checkpoint/transition needs them
-      if (driverSeen == null && seenRddEpochs >= math.max(2, config.stateCompactionEpochs))
-        compactStores()
+      // the delta chains — compact on the usual cadence. With mirrors live
+      // the chains stay lazy, but lineage and bloom generations still grow
+      // one layer per epoch, so compact on a COARSER cadence (the fold is a
+      // couple of tiny jobs every ~2x32 epochs — bounded lineage without
+      // re-paying the per-epoch fixed costs this path exists to avoid)
+      val smallCadence =
+        if (driverSeen == null) math.max(2, config.stateCompactionEpochs)
+        else math.max(32, config.stateCompactionEpochs)
+      if (seenRddEpochs >= smallCadence) compactStores()
       metrics += EpochMetrics(epoch, candCount, admittedCount, admittedCount,
         uniq.size.toLong, frontierCount, seenCount, budgetStopped,
         (System.nanoTime() - epochT0) / 1000000L, robotsBlockedCount, vetoedCount)
@@ -1410,8 +1405,11 @@ class CrawlEngine(
         if (epoch == 0L) {
           val fetched = fetcher.fetch(spark, fetchReady).localCheckpoint(true) // seeds: tiny
           val ph = scope.parentHost
+          // canonical-min winner — identical on the distributed path, the
+          // fast path, and the oracle (partition order would not be)
           val redirHosts = fetched
             .filter(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != ph)
+            .orderBy(col("depth"), col("discovery_seq"), col("host"), col("url"))
             .map(_.f_final_url).take(1)
           if (redirHosts.nonEmpty) scope = scope.copy(redirectHost = UrlOps.host(redirHosts.head))
           val sc = scope
@@ -1444,16 +1442,24 @@ class CrawlEngine(
           // only hosts that actually returned a 429 reach the driver; with
           // it on, the collect caps at the ledger's LRU capacity by
           // per-epoch traffic (hosts beyond it would be evicted anyway)
-          val sigBase =
-            if (config.autoThrottle) parsed.toDF()
-            else parsed.toDF().filter(col("status") === 429 && col("retry_after_ms") > 0)
-          val signals = sigBase.groupBy(col("host")).agg(
+          def sigAgg(base: DataFrame) = base.groupBy(col("host")).agg(
             max(when(col("status") === 429, col("retry_after_ms")).otherwise(lit(0L))).as("__ra"),
             avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"),
             count(lit(1)).as("__n"))
-            .orderBy(col("__n").desc, col("host"))
-            .limit(100000)
-            .collect()
+          val throttled = parsed.toDF().filter(col("status") === 429 && col("retry_after_ms") > 0)
+          val signals =
+            if (!config.autoThrottle) sigAgg(throttled).collect()
+            else {
+              // EMA rows capped by top traffic; 429 overrides NEVER capped
+              // (a throttling host must be honored regardless of rank).
+              // A host past the cap keeps its 429-row aggregate — full-
+              // population rows win when both exist
+              val emaRows = sigAgg(parsed.toDF())
+                .orderBy(col("__n").desc, col("host")).limit(100000).collect()
+              val haveEma = emaRows.iterator.map(_.getString(0)).toSet
+              emaRows ++ sigAgg(throttled).collect()
+                .filterNot(r => haveEma.contains(r.getString(0)))
+            }
           val drained = signals.filter(_.getLong(1) > 0)
           drained.foreach { r =>
             throttleOverrideMs.put(r.getString(0), Long.box(r.getLong(1)))
@@ -1501,9 +1507,12 @@ class CrawlEngine(
           case None => parsed
         }).toDF()
         val vetoedCount =
-          if (config.trackBlocked && onShouldCrawl.isDefined)
-            parsed.count() - expanding.count() // two column-pruned delta reads, opt-in
-          else 0L
+          if (config.trackBlocked && onShouldCrawl.isDefined) {
+            // counted over NON-retried rows only, matching the fast path
+            // (a retried page re-parses on its retry epoch)
+            val live = !(retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts)
+            parsed.filter(live).count() - expanding.filter(live).count()
+          } else 0L
         if (chainStarted) {
           // chain phase: ONLY sitemap docs expand — their <loc> entries
           // plus recursive <sitemapindex> locs; entry pages are recorded
@@ -1717,16 +1726,10 @@ class CrawlEngine(
     if (sitemapChain && !chainStarted && !budgetStopped && !shutdownRequested &&
         System.nanoTime() < deadline && epoch < config.maxEpochs) {
       chainStarted = true
-      val sms = seedUrls.flatMap { s =>
-        val p = UrlOps.parseCrawlBase(s)
-        if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
-      }
+      val sms = seedSitemapUrls // canonicalized; stored lowercased with the
+      // SAME mapping the Spark lower() probes apply (UTF8String.toLowerCase)
       if (sms.nonEmpty) {
-        // stored lowercased with the SAME mapping the Spark lower() probes
-        // apply (UTF8String.toLowerCase) — membership must be self-consistent
-        // for non-ASCII hosts/paths
-        chainSitemapLower ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-          .map(UrlOps.lowerUtf8)
+        chainSitemapLower ++= sms.map(UrlOps.lowerUtf8)
         sms.foreach(inbox.add)
         done = false
       } else crawling = false

@@ -86,6 +86,23 @@ object Sequential {
     }
   }
 
+  /** Reactive per-host delay override: 429 Retry-After throttle ∨ the
+    * clamped latency-EMA auto-throttle delay (reference
+    * `rate_limiter.rs:121-137` + `auto_throttle.rs`). ONE formula shared by
+    * the engine's distributed ledger broadcast (politenessStateDf), the
+    * small-epoch fast path, and the oracle — they must stay bit-identical.
+    */
+  def reactiveOverrideMs(config: CrawlConfig, throttleMs: Long, ema: Option[Double]): Long = {
+    val emaDelay =
+      if (!config.autoThrottle) 0L
+      else ema.map { e =>
+        math.min(config.autoThrottleMaxDelayMs,
+          math.max(config.autoThrottleMinDelayMs,
+            (e / config.autoThrottleTargetConcurrency).toLong))
+      }.getOrElse(0L)
+    math.max(throttleMs, emaDelay)
+  }
+
   /** B9 — per-host token-bucket politeness admission, highest priority
     * first (mirrors the engine's distributed rank + integral banking at
     * `CrawlEngine.scala` step 4; reference `rate_limiter.rs:75-186`).

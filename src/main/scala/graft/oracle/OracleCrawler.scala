@@ -52,7 +52,7 @@ object OracleCrawler {
       parentScheme = seed0.scheme,
       redirectHost = "",
       crawlBase = UrlOps.parseCrawlBase(seedUrls.head).serialize,
-      externalDomains = config.externalDomains.map(_.toLowerCase(java.util.Locale.ROOT)),
+      externalDomains = config.externalDomains.map(UrlOps.lowerUtf8(_)),
       fullResources = config.fullResources)
 
     val depthDistance = math.max(config.depth, UrlOps.budgetSegments(seedUrls.head).length)
@@ -81,23 +81,15 @@ object OracleCrawler {
     // reactive politeness state (mirrors the engine's 429-throttle + EMA)
     val throttleOverrideMs = scala.collection.mutable.Map.empty[String, Long]
     val latencyEma = scala.collection.mutable.Map.empty[String, Double]
-    def overrideMs(host: String): Long = {
-      val thr = throttleOverrideMs.getOrElse(host, 0L)
-      val emaDelay =
-        if (!config.autoThrottle) 0L
-        else latencyEma.get(host).map { e =>
-          math.min(config.autoThrottleMaxDelayMs,
-            math.max(config.autoThrottleMinDelayMs,
-              (e / config.autoThrottleTargetConcurrency).toLong))
-        }.getOrElse(0L)
-      math.max(thr, emaDelay)
-    }
+    def overrideMs(host: String): Long =
+      graft.engine.Sequential.reactiveOverrideMs(config,
+        throttleOverrideMs.getOrElse(host, 0L), latencyEma.get(host))
 
     // case-insensitive keep-first, mirroring the engine's seed establishment
     val seedSeen = scala.collection.mutable.Set.empty[String]
     val canonSeeds = seedUrls.flatMap { s =>
       Option(UrlOps.convertAbsPath(s, s))
-    }.filter(u => seedSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
+    }.filter(u => seedSeen.add(UrlOps.lowerUtf8(u)))
     var frontier: Vector[FrontierEntry] = canonSeeds.zipWithIndex.map { case (u, i) =>
       FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
     }.toVector.filter(gateDefault)
@@ -117,8 +109,8 @@ object OracleCrawler {
       val canonSms = seedUrls
         .flatMap(s => Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = "/sitemap.xml").serialize))
         .flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-        .filter(u => smSeen.add(u.toLowerCase(java.util.Locale.ROOT)))
-      chainSm ++= canonSms.map(_.toLowerCase(java.util.Locale.ROOT))
+        .filter(u => smSeen.add(UrlOps.lowerUtf8(u)))
+      chainSm ++= canonSms.map(UrlOps.lowerUtf8(_))
       frontier = canonSms.zipWithIndex.map { case (u, i) =>
         FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
       }.toVector.filter(gateDefault)
@@ -137,7 +129,7 @@ object OracleCrawler {
             FrontierEntry(u, UrlOps.host(u), 0, seqCounter + i, UrlOps.scoreUrl(u, 0), 0, 0L)
           }
           seqCounter += drained.length
-          frontier = (frontier ++ injected).groupBy(_.url.toLowerCase(java.util.Locale.ROOT))
+          frontier = (frontier ++ injected).groupBy(e => UrlOps.lowerUtf8(e.url))
             .values.map(_.min(canonical)).toVector
         }
       }
@@ -147,9 +139,9 @@ object OracleCrawler {
         if (frontier.isEmpty || epoch >= config.maxEpochs) done = true
       } else {
         // 1. seen filter
-        val unseen = ready.filterNot(e => seen.contains(e.url.toLowerCase(java.util.Locale.ROOT)))
+        val unseen = ready.filterNot(e => seen.contains(UrlOps.lowerUtf8(e.url)))
         // 2. batch dedup, case-insensitive, keep canonical-min
-        val deduped = unseen.groupBy(_.url.toLowerCase(java.util.Locale.ROOT))
+        val deduped = unseen.groupBy(e => UrlOps.lowerUtf8(e.url))
           .values.map(_.min(canonical)).toVector
         // 3. lists + robots + depth
         val gated0 = deduped.filter(gateDefault).filter { e =>
@@ -178,7 +170,7 @@ object OracleCrawler {
         // chain: sitemap docs budget-exempt (engine mirror)
         val (smExempt, budgetable) =
           if (chainStarted)
-            polAdmitted.partition(e => chainSm.contains(e.url.toLowerCase(java.util.Locale.ROOT)))
+            polAdmitted.partition(e => chainSm.contains(UrlOps.lowerUtf8(e.url)))
           else (Vector.empty[FrontierEntry], polAdmitted)
         // exact reference walk (`website.rs:2085-2115`) — shared code
         // (Sequential.budgetAdmit) with the engine's small-epoch fast path
@@ -192,7 +184,7 @@ object OracleCrawler {
         admitted = admitted ++ smExempt
 
         // 6. mark seen; 7. fetch (same generative fetcher semantics)
-        admitted.foreach(e => seen += e.url.toLowerCase(java.util.Locale.ROOT))
+        admitted.foreach(e => seen += UrlOps.lowerUtf8(e.url))
         val fetched = admitted.map { e =>
           var url = e.url
           var doc = CorpusGen.docFor(params, url)
@@ -236,7 +228,7 @@ object OracleCrawler {
         val (toRetry, keep) = fetched.partition(f =>
           retry.isRetryableStatus(f.f_status) && f.attempt < retry.maxAttempts)
         val retryEntries = toRetry.map { f =>
-          seen -= f.url.toLowerCase(java.util.Locale.ROOT)
+          seen -= UrlOps.lowerUtf8(f.url)
           FrontierEntry(f.url, f.host, f.depth, f.discovery_seq, f.priority, f.attempt + 1,
             epoch + retry.backoffEpochsOf(f.attempt))
         }
@@ -261,10 +253,10 @@ object OracleCrawler {
             // sitemapindex locs); entry pages never expand; signature
             // dedup bypassed for the sitemap XML (engine mirror)
             val smDocs = parsed.filter(p =>
-              p.status == 200 && chainSm.contains(p.url.toLowerCase(java.util.Locale.ROOT)))
+              p.status == 200 && chainSm.contains(UrlOps.lowerUtf8(p.url)))
             val out = smDocs.map(p => p.copy(links = p.links ++ p.sitemap_links))
             smDocs.flatMap(_.sitemap_links)
-              .foreach(u => chainSm += u.toLowerCase(java.util.Locale.ROOT))
+              .foreach(u => chainSm += UrlOps.lowerUtf8(u))
             out
           } else if (config.normalize) {
             val ok = parsed.filter(p => p.status == 200 && p.signature != 0L)
@@ -281,7 +273,7 @@ object OracleCrawler {
         val linksRaw = expanding.flatMap { p =>
           p.links.zipWithIndex.map { case (u, pos) => (p.depth, p.discovery_seq, pos, u) }
         }
-        val uniq = linksRaw.groupBy(_._4.toLowerCase(java.util.Locale.ROOT)).values
+        val uniq = linksRaw.groupBy(t => UrlOps.lowerUtf8(t._4)).values
           .map(_.min(graft.engine.Sequential.linkOrder)).toVector
           .sorted(graft.engine.Sequential.linkOrder)
         val newFrontier = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
@@ -294,7 +286,7 @@ object OracleCrawler {
 
         // 12. next frontier, case-insensitive dedup keep canonical-min
         val all = held ++ deferred ++ budgetLeftover ++ retryEntries ++ newFrontier
-        frontier = all.groupBy(_.url.toLowerCase(java.util.Locale.ROOT)).values
+        frontier = all.groupBy(e => UrlOps.lowerUtf8(e.url)).values
           .map(_.min(canonical)).toVector
 
         epoch += 1
@@ -311,7 +303,7 @@ object OracleCrawler {
       }
       if (sms.nonEmpty) {
         chainSm ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-          .map(_.toLowerCase(java.util.Locale.ROOT))
+          .map(UrlOps.lowerUtf8(_))
         pendingInbox ++= sms
         done = false
       } else crawling = false
@@ -320,7 +312,7 @@ object OracleCrawler {
 
     OracleResult(
       pages.result() // the sitemap XML itself is parsed, never emitted as a page
-        .filterNot(p => chainSm.contains(p.url.toLowerCase(java.util.Locale.ROOT)))
+        .filterNot(p => chainSm.contains(UrlOps.lowerUtf8(p.url)))
         .sortBy(p => (p.depth, p.seq, p.host, p.url))(graft.engine.Sequential.keyOrder),
       seen.toSet, frontier, epoch)
   }

@@ -125,4 +125,21 @@ class ResumeSpec extends AnyFunSuite {
     val resSeen = resumed.seen.select("url_lower").collect().map(_.getString(0)).toSet
     assert(fullSeen == resSeen)
   }
+
+  test("manifest chain_sitemaps survives URLs with commas, brackets and quotes") {
+    // URLs may legally contain ',' and ']' (and the writer escapes quotes);
+    // the parser must walk JSON quoted strings, never split on ','
+    val gnarly = Seq(
+      "https://site.com/sitemaps/products,2024.xml",
+      "https://site.com/s[1].xml",
+      "https://site.com/a\"b.xml",
+      "https://site.com/plain.xml")
+    def q(x: String) = "\"" + x.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val manifest = s"""{"epoch":3,"chain_started":true,"chain_sitemaps":[${gnarly.map(q).mkString(",")}],"x":1}"""
+    val (started, sms) = Checkpointer.chainState(manifest)
+    assert(started)
+    assert(sms == gnarly, s"parsed $sms")
+    val (off, none) = Checkpointer.chainState("""{"epoch":1,"chain_started":false,"chain_sitemaps":[]}""")
+    assert(!off && none.isEmpty)
+  }
 }

@@ -133,8 +133,13 @@ object Bench {
   private def benchParams(pph: Int): CorpusParams =
     CorpusParams(hosts = 16, pagesPerHost = pph, fanout = 48, textWords = 150)
 
+  // pph/4: host 0 carries 32x the cold hosts' pages and the TOTAL matches
+  // the uniform corpus (~same page count), so skew vs uniform compares
+  // like-for-like epoch sizes — at pph/8 the skew run was dominated by
+  // per-epoch fixed costs (4-core and 16-core skew runs measured within
+  // 25% of each other), which masqueraded as a skew-handling gap
   private def skewParams(pph: Int): CorpusParams =
-    CorpusParams(hosts = 33, pagesPerHost = pph / 8, fanout = 48, hotHostFactor = 32, textWords = 150)
+    CorpusParams(hosts = 33, pagesPerHost = pph / 4, fanout = 48, hotHostFactor = 32, textWords = 150)
 
   /** One crawl throughput run: wide synthetic web, politeness off (the
     * throughput ceiling), signature dedup on.

@@ -165,7 +165,7 @@ class CrawlEngine(
     // re-encoded every row; count + JoinedRow stamp touch zero row bytes,
     // and the two jobs share the sort shuffle via the stable RDD instance
     val sortedRdd = org.apache.spark.sql.GraftSqlBridge.internalRdd(sorted)
-    val counts = timed("zipWithIndex")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
+    val counts = timed("grank_count")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
       var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
     }.collect().sortBy(_._1).map(_._2))
     val offsets = counts.scanLeft(offset)(_ + _)
@@ -923,7 +923,20 @@ class CrawlEngine(
         b.writeTo(bos)
         blooms :+= bos.toByteArray
       }
-      hotHostWidths = Map.empty
+      // D4 salt hints for the NEXT epoch — free here, and crucial at the
+      // small->distributed handoff: the first big epoch of a hot-host
+      // crawl would otherwise fetch 50% of its rows through the default
+      // 16-way spread (the distributed stats ride the fetch scan and so
+      // always lag one epoch)
+      hotHostWidths =
+        if (admittedV.isEmpty) Map.empty
+        else {
+          val total = admittedV.size.toDouble
+          val pNow = P
+          admittedV.groupBy(_.host)
+            .map { case (h, es) => (h, math.ceil(es.size / total * 4 * pNow).toInt) }
+            .filter(_._2 > 16).take(64)
+        }
       // A3 fetch through the seam with D5 emission order (priority
       // emission, or host round-robin interleave when configured —
       // reference `UrlFrontier::pop` frontier.rs:78-121); results are

@@ -335,6 +335,7 @@ object Bench {
         f""""cpu_s_n":${rN.cpuS}%.1f,"cpu_s_4n":${r4N.cpuS}%.1f,"gc_s_n":${rN.gcS}%.1f,"gc_s_4n":${r4N.gcS}%.1f,""" +
         f""""pages":${rN.pages},"secs_n":${rN.secs}%.1f,"secs_4n":${r4N.secs}%.1f,""" +
         f""""skew_urls_per_sec_4n":$thrSkew%.1f,"skew_sustained_4n":$susSkew%.1f,"skew_pages":${rSkew.pages},""" +
+        f""""skew_total_ratio":${thrSkew / math.max(thr32, 0.001)}%.3f,""" +
         f""""phases_n_4n":$phaseJson}"""
       val md =
         f"""# BENCH — crawl engine scaling evidence
@@ -385,6 +386,14 @@ object Bench {
            |`epoch_total` minus the listed phases is driver-side plan/codegen
            |work. Phases with speedup ~1 are at the host's bandwidth wall
            |(their absolute time tracks the workload control, not core count).
+           |
+           |Skew note: the skew corpus spreads its pages over more, smaller
+           |epochs than the uniform one, so its "sustained" window includes
+           |fixed costs the uniform run's giant epochs exclude — the honest
+           |skew comparison is TOTAL URLs/s on the (equal) page counts:
+           |skew/uniform total-throughput THIS RUN =
+           |**${thrSkew / math.max(thr32, 0.001)}%.2f** (a clean-window
+           |controlled pair measured 0.96; see ROUND4_EVIDENCE.md §4b).
            |
            |"Sustained" excludes the seed/fan-out ramp epochs, whose cost is
            |fixed driver-round latency independent of data size — at the

@@ -252,15 +252,18 @@ class CrawlEngine(
   private val retry: RetryPolicy =
     retryPolicy.getOrElse(new DefaultRetryPolicy(config.retryLimit))
 
-  /** Access-ordered LRU map capped at 100k hosts (the reference caps its
-    * per-domain limiter maps the same way, `rate_limiter.rs` MAX_ENTRIES /
-    * `auto_throttle.rs` MAX_ENTRIES).
+  /** Access-ordered LRU map capped at [[CrawlEngine.lruHostCap]] hosts (the
+    * reference caps its per-domain limiter maps the same way,
+    * `rate_limiter.rs` MAX_ENTRIES / `auto_throttle.rs` MAX_ENTRIES).
     */
   private def lruMap[V](): java.util.LinkedHashMap[String, V] =
     new java.util.LinkedHashMap[String, V](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[String, V]): Boolean =
-        size() > 100000
+        size() > CrawlEngine.lruHostCap
     }
+
+  private def topHotHosts(widths: Iterable[(String, Int)]): Map[String, Int] =
+    CrawlEngine.topHotHosts(widths)
 
   /** A8 — `scrape()` = crawl + materialized pages (`website.rs:7326-7378`). */
   def scrape(seedUrls: Seq[String]): Array[graft.model.PageRow] = {
@@ -556,11 +559,10 @@ class CrawlEngine(
       val pNow = P
       hotHostWidths =
         if (total <= 0) Map.empty
-        else uniqParts.iterator.flatMap(_._4).toSeq.groupBy(_._1)
+        else topHotHosts(uniqParts.iterator.flatMap(_._4).toSeq.groupBy(_._1)
           .map { case (h, cs) => (h, cs.map(_._2).sum) }
           .map { case (h, c) => (h, math.ceil(c.toDouble / total * 4 * pNow).toInt) }
-          .filter(_._2 > 16)
-          .take(64)
+          .filter(_._2 > 16))
       total
     }
 
@@ -933,9 +935,9 @@ class CrawlEngine(
         else {
           val total = admittedV.size.toDouble
           val pNow = P
-          admittedV.groupBy(_.host)
+          topHotHosts(admittedV.groupBy(_.host)
             .map { case (h, es) => (h, math.ceil(es.size / total * 4 * pNow).toInt) }
-            .filter(_._2 > 16).take(64)
+            .filter(_._2 > 16))
         }
       // A3 fetch through the seam with D5 emission order (priority
       // emission, or host round-robin interleave when configured —
@@ -1160,16 +1162,9 @@ class CrawlEngine(
         val definitelyNew = withLower.filter(!mightContain)
         val maybeSeen = withLower.filter(mightContain)
         val lowerIdx = withLower.schema.fieldIndex("url_lower")
-        val unseen = if (CrawlEngine.gateMode == "broadcast") {
-          // round-2 gate, kept behind SPARK_GRAFT_GATE=broadcast for the
-          // same-window A/B (round-3 verdict #3): the maybe-seen keys
-          // broadcast against the seen view, hits broadcast back — two
-          // epoch-sized driver round-trips the co-partitioned probe avoids
-          val hits = seen.join(
-            broadcast(maybeSeen.select(col("url_lower")).distinct()), Seq("url_lower"), "left_semi")
-          definitelyNew.unionByName(
-            maybeSeen.join(broadcast(hits), Seq("url_lower"), "left_anti"))
-        } else {
+        // co-partitioned exact probe (the round-4 A/B retired the round-2
+        // broadcast gate: co-partition won at BOTH parallelism levels)
+        val unseen = {
           val unseenMaybe = spark.createDataFrame(
             maybeSeen.rdd.map(r => (r.getString(lowerIdx), r))
               .partitionBy(seenPartitioner)
@@ -1263,12 +1258,18 @@ class CrawlEngine(
           // admits nothing — a host at delay > tickMs earns a fractional
           // token per epoch and must bank it to admit on a later epoch;
           // round 2 persisted only admitting or quota==0 hosts, starving
-          // sub-1-token-per-epoch hosts forever). ONE small aggregate
-          // collect updates the driver ledger (this also populates the
-          // rankedH cache for every later consumer this epoch).
+          // sub-1-token-per-epoch hosts forever). ONE aggregate collect
+          // updates the driver ledger (this also populates the rankedH
+          // cache for every later consumer this epoch), BOUNDED at the
+          // ledger's LRU capacity by per-epoch traffic (round-4 verdict
+          // #2: the unbounded roll shipped one row per host per epoch —
+          // millions of rows/epoch on a wide politeness-on crawl; hosts
+          // beyond the cap would be evicted on insert anyway).
           timed("tokens_roll")(rankedH.groupBy(col("host")).agg(
               max(col("__avail")).as("__a"),
-              sum(when(col("__hrn") <= col("__quota"), 1L).otherwise(0L)).as("__used"))
+              sum(when(col("__hrn") <= col("__quota"), 1L).otherwise(0L)).as("__used"),
+              count(lit(1)).as("__n"))
+            .orderBy(col("__n").desc, col("host")).limit(CrawlEngine.lruHostCap)
             .collect()
             .foreach(r => hostTokensMap.put(r.getString(0),
               Long.box(r.getLong(1) - r.getLong(2) * 1000L))))
@@ -1460,19 +1461,20 @@ class CrawlEngine(
             avg(when(col("latency_ms") > 0, col("latency_ms").cast("double"))).as("__l"),
             count(lit(1)).as("__n"))
           val throttled = parsed.toDF().filter(col("status") === 429 && col("retry_after_ms") > 0)
-          val signals =
-            if (!config.autoThrottle) sigAgg(throttled).collect()
-            else {
-              // EMA rows capped by top traffic; 429 overrides NEVER capped
-              // (a throttling host must be honored regardless of rank).
-              // A host past the cap keeps its 429-row aggregate — full-
-              // population rows win when both exist
-              val emaRows = sigAgg(parsed.toDF())
-                .orderBy(col("__n").desc, col("host")).limit(100000).collect()
-              val haveEma = emaRows.iterator.map(_.getString(0)).toSet
-              emaRows ++ sigAgg(throttled).collect()
-                .filterNot(r => haveEma.contains(r.getString(0)))
-            }
+          // EMA rows capped by top traffic; 429 overrides NEVER capped (a
+          // throttling host must be honored regardless of rank). A host
+          // past the cap contributes ONLY its Retry-After override: its
+          // available aggregate averages latency over 429 rows alone,
+          // which diverges from the all-rows average in-cap hosts and the
+          // oracle use — so beyond-cap hosts skip the EMA update entirely
+          // (round-4 advice) rather than feed it a biased sample.
+          val emaRows: Array[Row] =
+            if (!config.autoThrottle) Array.empty
+            else sigAgg(parsed.toDF())
+              .orderBy(col("__n").desc, col("host")).limit(CrawlEngine.lruHostCap).collect()
+          val haveEma = emaRows.iterator.map(_.getString(0)).toSet
+          val signals = emaRows ++ sigAgg(throttled).collect()
+            .filterNot(r => haveEma.contains(r.getString(0)))
           val drained = signals.filter(_.getLong(1) > 0)
           drained.foreach { r =>
             throttleOverrideMs.put(r.getString(0), Long.box(r.getLong(1)))
@@ -1480,7 +1482,7 @@ class CrawlEngine(
           }
           if (config.autoThrottle) {
             val alpha = config.autoThrottleAlpha
-            signals.filter(!_.isNullAt(2)).foreach { r =>
+            emaRows.filter(!_.isNullAt(2)).foreach { r =>
               val h = r.getString(0); val l = r.getDouble(2)
               val prev = latencyEma.get(h)
               val next = if (prev == null) l else prev.doubleValue + alpha * (l - prev.doubleValue)
@@ -1758,19 +1760,30 @@ class CrawlEngine(
 
 object CrawlEngine {
 
-  /** Visited-gate implementation switch for the same-window A/B bench
-    * (round-3 verdict #3): `copartition` (default) probes the
-    * never-reshuffled seen store in place; `broadcast` restores the
-    * round-2 gate (maybe-seen keys broadcast out, hits broadcast back).
-    */
-  private[engine] val gateMode = sys.env.getOrElse("SPARK_GRAFT_GATE", "copartition")
-
   /** Cap on the driver-side seen/signature mirrors of the small-epoch fast
     * path; past it the mirrors drop and the gate falls back to tiny probe
     * jobs against the distributed stores. A var so the fallback is testable
     * at toy scale.
     */
   @volatile private[engine] var mirrorCap: Int = 1 << 20
+
+  /** Capacity of every driver-side per-host ledger (token buckets, 429
+    * overrides, latency EMAs) AND the cap on each ledger's per-epoch
+    * feeding collect: rows beyond it (ranked by per-epoch traffic) would
+    * be evicted on insert anyway, so capping the collect bounds driver
+    * traffic at any host cardinality without changing ledger contents.
+    * A var so the cap + eviction path is testable at toy scale.
+    */
+  @volatile private[engine] var lruHostCap: Int = 100000
+
+  /** D4 — deterministic hot-host salt selection: keep the 64 WIDEST hints
+    * (width desc, host asc tiebreak). A bare `.take(64)` on the unordered
+    * Map kept a hash-iteration-arbitrary 64 whenever more qualified, so
+    * which hosts got salted was stable per run but not the hottest
+    * (round-4 verdict #6 — perf skew, never correctness).
+    */
+  private[engine] def topHotHosts(widths: Iterable[(String, Int)]): Map[String, Int] =
+    widths.toSeq.sortBy { case (h, w) => (-w, h) }.take(64).toMap
 
   /** Driver-side mirror of [[dedupCanonicalMin]]: case-insensitive frontier
     * dedup keeping the canonical-min entry, keyed by the same

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   *    shingle arrays never cross the band shuffle; shuffle volume is
   *    O(rows·b·r·8 bytes)) → candidate (id_a,id_b) pairs deduped → ONE
   *    re-join to fetch shingles → exact-Jaccard verification.
-  *  - SimHash: one-pass 60-bit signature (codegen expression), banded into
-  *    4×15-bit keys (Hamming ≤ 3 ⇒ at least one identical band by
-  *    pigeonhole) → id+signature-only equi-join, verify Hamming distance.
+  *  - SimHash: one-pass 60-bit signature (codegen expression), then the
+  *    Manku multi-block pigeonhole scheme (Manku et al., WWW'07): the 60
+  *    bits split into m blocks; a pair at Hamming ≤ k has ≥ m−k clean
+  *    blocks, so banding on every (m−k)-block combination (2^30-key bands
+  *    at the default m=6, k=3) keeps recall 1.0 — candidates verify by
+  *    exact Hamming distance (scheme note above [[simhashPairs]]).
   *  - n-gram Jaccard: EXACT threshold similarity join via prefix filtering
   *    (Bayardo et al., "Scaling Up All Pairs Similarity Search", WWW'07):
   *    order each doc's shingles rare-first by global frequency, index only

@@ -233,10 +233,18 @@ object OracleCrawler {
             epoch + retry.backoffEpochsOf(f.attempt))
         }
 
-        // 9a. scope re-anchor on epoch-0 cross-host redirect
+        // 9a. scope re-anchor on epoch-0 cross-host redirect — canonical-min
+        // winner, mirroring BOTH engine paths exactly (a `find` over the
+        // admitted order is hash-order-dependent once politenessAdmit's
+        // per-host groupBy reorders the walk)
         if (epoch == 0L) {
-          keep.find(f => f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
-            .foreach(f => scope = scope.copy(redirectHost = UrlOps.host(f.f_final_url)))
+          val reCands = keep.filter(f =>
+            f.f_status == 200 && UrlOps.host(f.f_final_url) != scope.parentHost)
+          if (reCands.nonEmpty) {
+            val w = reCands.minBy(f => (f.depth, f.discovery_seq, f.host, f.url))(
+              graft.engine.Sequential.keyOrder)
+            scope = scope.copy(redirectHost = UrlOps.host(w.f_final_url))
+          }
         }
 
         // 9b. parse (same pure function as the engine)

@@ -317,6 +317,32 @@ object Drive {
           r2.pages.select("url", "signature").collect().map(_.toSeq).toSet))
       spark.stop(); return
     }
+    if (args.headOption.contains("politecap")) {
+      // wide politeness-on distributed crawl (150 hosts, threshold=0):
+      // drives the bounded tokens_roll collect + EMA cap + salt selection
+      // end-to-end; parity vs the sequential oracle asserted inline
+      import graft.corpus.CorpusParams
+      import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+      import graft.model.CrawlConfig
+      val spark = session(8)
+      val params = CorpusParams(hosts = 150, pagesPerHost = 6)
+      val seeds = (0 until 150).map(i => s"https://www.site$i.com/")
+      val cfg = CrawlConfig(delayMs = 500, tickMs = 1000, maxPerHostPerEpoch = 1,
+        autoThrottle = true, autoThrottleTargetConcurrency = 0.5,
+        autoThrottleMaxDelayMs = 1500L, maxEpochs = 40, smallEpochThreshold = 0)
+      val robots = new CorpusRobots(params)
+      val t0 = System.nanoTime()
+      val er = new CrawlEngine(spark, cfg, new GenerativeFetcher(params), robots,
+        expectedUrls = 100000L).crawl(seeds)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val or = graft.oracle.OracleCrawler.crawl(params, cfg, robots, seeds)
+      val eP = er.pages.select("url", "depth", "discovery_seq", "status").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+      val oP = or.pages.map(p => (p.url, p.depth, p.seq, p.status)).toSet
+      println(f"POLITECAP hosts=150 pages=${eP.size} epochs=${er.epochs} " +
+        f"secs=$secs%.1f parity=${eP == oP} onlyE=${(eP -- oP).take(3)} onlyO=${(oP -- eP).take(3)}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

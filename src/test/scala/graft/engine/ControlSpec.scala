@@ -21,6 +21,20 @@ class ControlSpec extends AnyFunSuite {
     new CrawlEngine(spark, cfg, new GenerativeFetcher(params), new CorpusRobots(params),
       expectedUrls = 10000, onShouldCrawl = veto)
 
+  test("hot-host salting keeps the 64 WIDEST hosts when more qualify (D4, round-4 verdict #6)") {
+    // 200 qualifying hosts with widths 17..216: the selection must be the
+    // top-64 by width (153..216), not a hash-iteration-arbitrary 64
+    val widths = (0 until 200).map(i => (s"h$i", 17 + i))
+    val kept = CrawlEngine.topHotHosts(scala.util.Random.shuffle(widths))
+    assert(kept.size == 64)
+    assert(kept.values.min == 17 + 136, s"lightest kept width ${kept.values.min}")
+    assert((0 until 200).filter(_ >= 136).forall(i => kept.get(s"h$i").contains(17 + i)),
+      "a heaviest host lost its width")
+    // tiebreak: equal widths resolve by host name, deterministically
+    val tied = CrawlEngine.topHotHosts((0 until 100).map(i => (f"t$i%03d", 20)))
+    assert(tied.keySet == (0 until 64).map(i => f"t$i%03d").toSet)
+  }
+
   test("glob expansion matches reference shapes (glob.rs tests)") {
     assert(Glob.expandUrl("https://x.com/licenses/{mit,apache-2.0,mpl-2.0}/") == Seq(
       "https://x.com/licenses/mit/", "https://x.com/licenses/apache-2.0/",

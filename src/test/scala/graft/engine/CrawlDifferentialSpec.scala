@@ -363,6 +363,26 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("many-host politeness: token-roll collect bounded at the ledger cap, parity kept (>cap hosts)") {
+    // 150 hosts against a ledger capped at 24: the distributed tokens_roll
+    // collect is limited to the cap (plan shows the Limit) and the LRU
+    // evicts beyond it. With maxPerHostPerEpoch=1 and delay <= tick the
+    // per-epoch quota is 1 regardless of banked state, so eviction is
+    // semantically neutral and the engine must still equal the UNBOUNDED
+    // sequential oracle exactly (round-4 verdict #2).
+    val params = CorpusParams(hosts = 150, pagesPerHost = 3)
+    val seeds = (0 until 150).map(i => s"https://www.site$i.com/")
+    val cfg = CrawlConfig(delayMs = 500, tickMs = 1000, maxPerHostPerEpoch = 1,
+      maxEpochs = 40, smallEpochThreshold = 0)
+    val prev = CrawlEngine.lruHostCap
+    try {
+      CrawlEngine.lruHostCap = 24
+      val (er, or) = run(params, cfg, seeds)
+      assert(or.pages.size > 150, s"corpus too small to exercise pacing: ${or.pages.size}")
+      assertParity(er, or)
+    } finally CrawlEngine.lruHostCap = prev
+  }
+
   test("state compaction preserves exact semantics across the fold boundary") {
     // compaction every 3 epochs on a politeness-paced crawl that runs ~10+
     // epochs: seen/signature folds + bloom rebuild must not change ANY set

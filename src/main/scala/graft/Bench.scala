@@ -93,13 +93,17 @@ object Bench {
     * A crawl matching this control adds no bottleneck beyond the host's
     * bandwidth; a real cluster adds a memory bus per node.
     */
-  private def workloadControlEfficiency(n: Int): Double = {
+  private object WorkloadControl {
     import graft.engine.{FetchResult, ScopeState}
-    val params = CorpusParams(hosts = 16, pagesPerHost = 60000, fanout = 48, textWords = 150)
-    val scope = ScopeState("", "www.site0.com", "https", "",
+    private val params = CorpusParams(hosts = 16, pagesPerHost = 60000, fanout = 48, textWords = 150)
+    private val scope = ScopeState("", "www.site0.com", "https", "",
       "https://www.site0.com/", Set("*"), fullResources = false)
-    val total = 480000L
-    def run(threads: Int): Double = {
+    // sized for a ~30s per-TRIAL bracket (the r4 protocol ran one 480k-page
+    // control before and after ALL trials; same-window pairing needs one
+    // per trial, so the per-run page count halves and the JIT warmup runs
+    // once per process instead of once per call)
+    private val total = 240000L
+    private def run(threads: Int): Double = {
       val per = total / threads
       val ts = (0 until threads).map { t =>
         new Thread(() => {
@@ -123,12 +127,18 @@ object Bench {
       ts.foreach(_.start()); ts.foreach(_.join())
       total / ((System.nanoTime() - t0) / 1e9)
     }
-    run(4) // JIT warmup
-    val rN = run(n)
-    val r4N = run(n * 4)
-    val rNb = run(n)
-    r4N / (4 * math.max(rN, rNb))
+    private lazy val warmed: Unit = { run(4); () }
+    /** One same-window measurement of the memory-envelope ratio. */
+    def efficiency(n: Int): Double = {
+      warmed
+      val rN = run(n)
+      val r4N = run(n * 4)
+      val rNb = run(n)
+      r4N / (4 * math.max(rN, rNb))
+    }
   }
+
+  private def workloadControlEfficiency(n: Int): Double = WorkloadControl.efficiency(n)
 
   private def benchParams(pph: Int): CorpusParams =
     CorpusParams(hosts = 16, pagesPerHost = pph, fanout = 48, textWords = 150)
@@ -283,39 +293,82 @@ object Bench {
     // --- part 2: crawl throughput at N and 4N cores, same input ---
     var crawlJson = "{}"
     if (!skipCrawl) {
-      // best-of-N trials: the sandbox VM shows multi-x run-to-run noise
-      // (shared host); best-of is the standard noise-robust protocol
-      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
-      def best(mode: String) =
-        (1 to trials).map(_ => childRun(mode, pph))
-          .maxBy(r => r.sustainedPages / math.max(r.sustainedSecs, 0.001))
-      // TWO host-envelope controls, both same-window as the crawls:
-      //  - register-only mix loop (ALU envelope — what the hypervisor caps)
-      //  - workload control: the crawl's own generate+parse on raw threads
-      //    (memory envelope — allocation-heavy work shares one memory bus;
-      //    on this host it scales FAR below the ALU envelope, and no code
+      // SAME-WINDOW TRIAL PAIRS (round-4 verdict #1): the host shows
+      // minutes-long hypervisor-contention episodes with 3-8x slowdowns,
+      // so independently best-of-ing N, 4N, skew and the controls lets
+      // each land in a DIFFERENT noise window — exactly what made the r4
+      // recorded artifact (0.251/0.632) disagree with its clean-window
+      // evidence (0.389/0.911). Every trial is now one window-coherent
+      // sequence — workload control, N crawl, 4N crawl, skew crawl —
+      // with controls bracketing the trials (trial t is judged against
+      // max(control before, control after)). ALL trials land in the JSON;
+      // the selected pair is the trial where BOTH sides were
+      // simultaneously near their best (max over t of min(susN_t/max_u
+      // susN_u, sus4N_t/max_u sus4N_u)) — NOT the max-efficiency trial,
+      // which a contention episode during the N run can inflate (r4's
+      // N-control once measured a physically impossible 2.03).
+      //
+      // Controls, both same-window as the crawls:
+      //  - register-only mix loop (ALU envelope — what the hypervisor
+      //    caps), once per bench, informational
+      //  - workload control: the crawl's own generate+parse on raw
+      //    threads (memory envelope — allocation-heavy work shares one
+      //    memory bus; it scales FAR below the ALU envelope, and no code
       //    that touches memory can scale past it at these thread counts)
       // crawl ≈ workload control ⇒ the ENGINE adds no scaling bottleneck
       // beyond the host's memory system; a real cluster adds a memory bus
-      // (and NUMA domains) per node, which is the regime the ≥0.8 criterion
-      // describes.
-      val cpuCtl1 = cpuControlEfficiency(benchN)
-      val wCtl1 = workloadControlEfficiency(benchN)
-      val rN = best(benchN.toString)
-      val r4N = best((benchN * 4).toString)
-      val rSkew = best("skew")
-      val cpuCtl2 = cpuControlEfficiency(benchN)
-      val wCtl2 = workloadControlEfficiency(benchN)
-      val cpuCtl = math.max(cpuCtl1, cpuCtl2)
-      val wCtl = math.max(wCtl1, wCtl2)
-      val thr8 = rN.pages / rN.secs; val thr32 = r4N.pages / r4N.secs
-      val sus8 = rN.sustainedPages / rN.sustainedSecs
-      val sus32 = r4N.sustainedPages / r4N.sustainedSecs
-      val thrSkew = rSkew.pages / rSkew.secs
-      val susSkew = rSkew.sustainedPages / rSkew.sustainedSecs
-      val effTotal = thr32 / (4.0 * thr8)
-      val effSus = sus32 / (4.0 * sus8)
+      // (and NUMA domains) per node, which is the regime the ≥0.8
+      // criterion describes.
+      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+      val cpuCtl = cpuControlEfficiency(benchN)
+      final case class Trial(wctlBefore: Double, wctlAfter: Double,
+          rN: ChildResult, r4N: ChildResult, rSkew: ChildResult) {
+        def wctl: Double = math.max(wctlBefore, wctlAfter)
+        def susN: Double = rN.sustainedPages / math.max(rN.sustainedSecs, 0.001)
+        def sus4N: Double = r4N.sustainedPages / math.max(r4N.sustainedSecs, 0.001)
+        def thrN: Double = rN.pages / math.max(rN.secs, 0.001)
+        def thr4N: Double = r4N.pages / math.max(r4N.secs, 0.001)
+        def thrSkew: Double = rSkew.pages / math.max(rSkew.secs, 0.001)
+        def susSkew: Double = rSkew.sustainedPages / math.max(rSkew.sustainedSecs, 0.001)
+        def effSus: Double = sus4N / (4.0 * susN)
+        def effTotal: Double = thr4N / (4.0 * thrN)
+        def skewRatio: Double = thrSkew / math.max(thr4N, 0.001)
+      }
+      var ctl = workloadControlEfficiency(benchN)
+      val ts = (1 to trials).map { _ =>
+        val before = ctl
+        val tN = childRun(benchN.toString, pph)
+        val t4N = childRun((benchN * 4).toString, pph)
+        val tSkew = childRun("skew", pph)
+        ctl = workloadControlEfficiency(benchN)
+        Trial(before, ctl, tN, t4N, tSkew)
+      }
+      val maxSusN = ts.map(_.susN).max
+      val maxSus4N = ts.map(_.sus4N).max
+      val maxThr4N = ts.map(_.thr4N).max
+      val maxThrSkew = ts.map(_.thrSkew).max
+      def cleanEff(t: Trial): Double = math.min(t.susN / maxSusN, t.sus4N / maxSus4N)
+      def cleanSkew(t: Trial): Double = math.min(t.thr4N / maxThr4N, t.thrSkew / maxThrSkew)
+      val selEff = ts.indices.maxBy(i => cleanEff(ts(i)))
+      val selSkew = ts.indices.maxBy(i => cleanSkew(ts(i)))
+      val sel = ts(selEff)
+      val rN = sel.rN; val r4N = sel.r4N; val rSkew = ts(selSkew).rSkew
+      val wCtl = sel.wctl
+      val thr8 = sel.thrN; val thr32 = sel.thr4N
+      val sus8 = sel.susN; val sus32 = sel.sus4N
+      val thrSkew = ts(selSkew).thrSkew
+      val susSkew = ts(selSkew).susSkew
+      val effTotal = sel.effTotal
+      val effSus = sel.effSus
+      val skewRatio = ts(selSkew).skewRatio
       val n4 = benchN * 4
+      val trialsJson = ts.zipWithIndex.map { case (t, i) =>
+        f"""{"trial":$i,"wctl_before":${t.wctlBefore}%.3f,"wctl_after":${t.wctlAfter}%.3f,""" +
+        f""""sustained_n":${t.susN}%.1f,"sustained_4n":${t.sus4N}%.1f,"total_n":${t.thrN}%.1f,"total_4n":${t.thr4N}%.1f,""" +
+        f""""skew_total":${t.thrSkew}%.1f,"skew_sustained":${t.susSkew}%.1f,""" +
+        f""""sustained_efficiency":${t.effSus}%.3f,"normalized_vs_workload":${t.effSus / math.max(t.wctl, 0.001)}%.3f,""" +
+        f""""skew_total_ratio":${t.skewRatio}%.3f,"clean_eff_score":${cleanEff(t)}%.3f,"clean_skew_score":${cleanSkew(t)}%.3f}"""
+      }.mkString("[", ",", "]")
       val phaseKeys = (rN.phases.keySet ++ r4N.phases.keySet).toSeq
         .sortBy(k => -rN.phases.getOrElse(k, 0.0))
       // plain single-pipe rows, substituted AFTER stripMargin (margin
@@ -335,8 +388,15 @@ object Bench {
         f""""cpu_s_n":${rN.cpuS}%.1f,"cpu_s_4n":${r4N.cpuS}%.1f,"gc_s_n":${rN.gcS}%.1f,"gc_s_4n":${r4N.gcS}%.1f,""" +
         f""""pages":${rN.pages},"secs_n":${rN.secs}%.1f,"secs_4n":${r4N.secs}%.1f,""" +
         f""""skew_urls_per_sec_4n":$thrSkew%.1f,"skew_sustained_4n":$susSkew%.1f,"skew_pages":${rSkew.pages},""" +
-        f""""skew_total_ratio":${thrSkew / math.max(thr32, 0.001)}%.3f,""" +
+        f""""skew_total_ratio":$skewRatio%.3f,""" +
+        s""""selection":"headline numbers come from the same-window trial PAIR maximizing min(susN/max susN, sus4N/max sus4N) [skew: min over the (4N,skew) pair, same trial] - contention during the N run inflates efficiency, so max-both-sides is the anti-inflation selector; all trials recorded","selected_trial_eff":$selEff,"selected_trial_skew":$selSkew,"trials":$trialsJson,""" +
         f""""phases_n_4n":$phaseJson}"""
+      val trialTable = ts.zipWithIndex.map { case (t, i) =>
+        val mk = (b: Boolean) => if (b) " **<-**" else ""
+        f"| $i | ${t.wctlBefore}%.3f / ${t.wctlAfter}%.3f | ${t.susN}%.0f | ${t.sus4N}%.0f | " +
+          f"${t.effSus}%.3f | ${t.effSus / math.max(t.wctl, 0.001)}%.3f | ${t.thrSkew}%.0f | ${t.skewRatio}%.3f | " +
+          f"${cleanEff(t)}%.3f${mk(i == selEff)} | ${cleanSkew(t)}%.3f${mk(i == selSkew)} |"
+      }.mkString("\n")
       val md =
         f"""# BENCH — crawl engine scaling evidence
            |
@@ -345,6 +405,20 @@ object Bench {
            |evidenced at two local parallelism levels (local[$benchN] vs
            |local[$n4]) on IDENTICAL input, each run in its own child JVM with
            |-XX:ActiveProcessorCount pinned and tmpfs spark.local.dir.
+           |
+           |## Same-window trial pairs (the protocol, round-5)
+           |
+           |Each trial is one window-coherent sequence — workload control,
+           |N crawl, 4N crawl, skew crawl — bracketed by the next control;
+           |the headline row is the PAIR maximizing min(susN/max susN,
+           |sus4N/max sus4N) (and for skew, the analogous (4N, skew)-pair
+           |score), because a contention episode during the N run inflates
+           |efficiency while deflating the clean-score. All pairs are in
+           |`BENCH_r*.json` under `crawl.trials`.
+           |
+           || trial | wctl before/after | sus N | sus 4N | eff | eff/wctl | skew URLs/s | skew ratio | clean-eff | clean-skew |
+           ||---|---|---|---|---|---|---|---|---|---|
+           |@TRIAL_TABLE@
            |
            |**Host envelope (two same-window controls).** The guest advertises
            |32 cores behind a shared hypervisor. Control 1 — a register-only
@@ -391,9 +465,9 @@ object Bench {
            |epochs than the uniform one, so its "sustained" window includes
            |fixed costs the uniform run's giant epochs exclude — the honest
            |skew comparison is TOTAL URLs/s on the (equal) page counts:
-           |skew/uniform total-throughput THIS RUN =
-           |**${thrSkew / math.max(thr32, 0.001)}%.2f** (a clean-window
-           |controlled pair measured 0.96; see ROUND4_EVIDENCE.md §4b).
+           |skew/uniform total-throughput, best same-trial pair =
+           |**$skewRatio%.2f** (trial $selSkew; the 4N and skew runs of one
+           |trial execute back-to-back, so the pair shares a noise window).
            |
            |"Sustained" excludes the seed/fan-out ramp epochs, whose cost is
            |fixed driver-round latency independent of data size — at the
@@ -408,6 +482,7 @@ object Bench {
            |Reference single-node numbers in BASELINE.md (185-page site in
            |73ms incl. network ~= 2.5k URLs/s scheduling rate).
            |""".stripMargin.replace("@PHASE_TABLE@", phaseTable)
+          .replace("@TRIAL_TABLE@", trialTable)
       Files.createDirectories(Paths.get("BENCH"))
       Files.writeString(Paths.get("BENCH/BASELINE.md"), md)
     }

@@ -34,7 +34,9 @@ final case class CorpusParams(
     retryAfterVaries: Boolean = false, // per-URL Retry-After in [r/2, 3r/2)
     externalLinksTo: Int = 1, // link a few pages to host (i+n)%hosts
     orphanEvery: Int = 0, // pages with p%k==2 get NO inbound tree/cross links (sitemap-only; 0=off)
-    textWords: Int = 12 // base words per text span (bench uses realistic ~150)
+    textWords: Int = 12, // base words per text span (bench uses realistic ~150)
+    sitemapPath: String = "/sitemap.xml", // where each host serves its sitemap (custom-path scenario)
+    advertiseSitemap: Boolean = false // root pages carry a rel=sitemap span pointing at sitemapPath
 ) {
   def pagesFor(hostIdx: Int): Int = if (hostIdx == 0) pagesPerHost * hotHostFactor else pagesPerHost
   def totalPages: Long = (0 until hosts).map(pagesFor(_).toLong).sum
@@ -178,6 +180,11 @@ object CorpusGen {
     // subdomain sibling link from the apex root page
     if (!sub && p == 0) add("link", null, s"${params.scheme}://${subHostName(hostIdx)}/")
 
+    // rel=sitemap advertisement (span kind "sitemap" — never a frontier
+    // link; consumed only by the chain's sitemap auto-discovery)
+    if (params.advertiseSitemap && !sub && p == 0)
+      add("sitemap", null, s"${params.scheme}://$host${params.sitemapPath}")
+
     // external cross-host link (out of scope unless external_domains)
     if (params.hosts > 1 && p % 7 == 3)
       add("link", null, s"${params.scheme}://${hostName((hostIdx + params.externalLinksTo) % params.hosts)}/")
@@ -272,7 +279,7 @@ object CorpusGen {
     if (!deep)
       out += Span("sitemap", null, s"${params.scheme}://$host/sitemap-deep.xml", { off += 1; off - 1 })
     out += Span("text", "</urlset>", null, { off += 1; off - 1 })
-    val path = if (deep) "/sitemap-deep.xml" else "/sitemap.xml"
+    val path = if (deep) "/sitemap-deep.xml" else params.sitemapPath
     CorpusDoc(s"${params.scheme}://$host$path", out.toArray, 200, null, "application/xml", "utf-8")
   }
 
@@ -288,7 +295,7 @@ object CorpusGen {
     * synthesized by the fetcher).
     */
   def docFor(params: CorpusParams, url: String): CorpusDoc = {
-    if (url != null && url.endsWith("/sitemap.xml"))
+    if (url != null && url.endsWith(params.sitemapPath))
       return sitemapFor(params, graft.url.UrlOps.host(url), deep = false)
     if (url != null && url.endsWith("/sitemap-deep.xml"))
       return sitemapFor(params, graft.url.UrlOps.host(url), deep = true)

@@ -26,7 +26,8 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
       hostTokens: DataFrame, pages: DataFrame,
       seqCounter: Long, wildcardRemaining: Long, pathBudget: Map[String, Long],
       scope: ScopeState, metrics: Seq[EpochMetrics],
-      chainStarted: Boolean = false, chainSitemaps: Seq[String] = Nil): Unit = {
+      chainStarted: Boolean = false, chainSitemaps: Seq[String] = Nil,
+      discoveredSitemaps: Seq[String] = Nil): Unit = {
     if (every <= 0 || epoch % every != 0) return
     val snapDir = root.resolve(s"epoch_$epoch")
     val tables = Seq("frontier" -> frontier, "seen" -> seen,
@@ -48,9 +49,14 @@ class Checkpointer(spark: SparkSession, dir: String, every: Int = 1) {
     // sitemap DOC discovered so far (seed /sitemap.xml + recursive
     // <sitemapindex> locs), bounded by sitemap count
     val chainJson = chainSitemaps.map(q).mkString("[", ",", "]")
+    // pre-chain rel=sitemap discoveries (A6 auto-discovery): insertion
+    // order is part of the contract — it fixes the chain seeds' injection
+    // order and hence the sitemap docs' discovery_seq after a resume
+    val discJson = discoveredSitemaps.map(q).mkString("[", ",", "]")
     val manifest =
       s"""{"epoch":$epoch,"parent":${epoch - every},"seq_counter":$seqCounter,
          |"chain_started":$chainStarted,"chain_sitemaps":$chainJson,
+         |"discovered_sitemaps":$discJson,
          |"wildcard_remaining":$wildcardRemaining,"path_budget":$budgetJson,
          |"scope":{"sub_matcher":${q(scope.subMatcher)},"parent_host":${q(scope.parentHost)},
          |"parent_scheme":${q(scope.parentScheme)},"redirect_host":${q(scope.redirectHost)},
@@ -91,11 +97,17 @@ object Checkpointer {
     */
   def chainState(manifest: String): (Boolean, Seq[String]) = {
     val started = manifest.contains("\"chain_started\":true")
-    val sms = "\"chain_sitemaps\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\"(?:,)?)*)\\]".r
+    (started, strArray(manifest, "chain_sitemaps"))
+  }
+
+  /** Pre-chain rel=sitemap discoveries, in original insertion order. */
+  def discoveredSitemaps(manifest: String): Seq[String] =
+    strArray(manifest, "discovered_sitemaps")
+
+  private def strArray(manifest: String, key: String): Seq[String] =
+    ("\"" + key + "\":\\[((?:\"(?:[^\"\\\\]|\\\\.)*\"(?:,)?)*)\\]").r
       .findFirstMatchIn(manifest).map(_.group(1)).map { body =>
         "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
       }.getOrElse(Nil)
-    (started, sms)
-  }
 }

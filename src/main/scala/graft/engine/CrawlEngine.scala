@@ -648,10 +648,18 @@ class CrawlEngine(
     // manifest so a chain-phase kill resumes mid-chain.
     var chainStarted = false
     val chainSitemapLower = scala.collection.mutable.Set.empty[String]
-    def seedSitemapUrls: Seq[String] = seedUrls.flatMap { s =>
-      val p = UrlOps.parseCrawlBase(s)
-      if (p == null) None else Some(p.copy(path = "/sitemap.xml").serialize)
-    }.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+    // page-advertised sitemaps (rel=sitemap spans) found during the main
+    // crawl — injected into the chain alongside the seeds' configured
+    // sitemap URL (lower-key -> first canonical URL, deterministic order)
+    val discoveredSitemaps = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def seedSitemapUrls: Seq[String] = {
+      val smPath =
+        if (config.sitemapUrl.startsWith("/")) config.sitemapUrl else "/" + config.sitemapUrl
+      seedUrls.flatMap { s =>
+        val p = UrlOps.parseCrawlBase(s)
+        if (p == null) None else Some(p.copy(path = smPath).serialize)
+      }.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
+    }
 
     if (sitemapOnly) {
       // A6 — sitemap-ONLY walk (reference `crawl_sitemap()`,
@@ -722,6 +730,13 @@ class CrawlEngine(
         if (ckChainStarted) {
           chainStarted = true
           chainSitemapLower ++= ckChainSms
+        }
+        // pre-chain rel=sitemap discoveries: restore in manifest order
+        // (insertion order) so the chain seeds' injection order — and the
+        // sitemap docs' discovery_seq — match the unkilled run exactly
+        Checkpointer.discoveredSitemaps(m).foreach { u =>
+          val k = UrlOps.lowerUtf8(u)
+          if (!discoveredSitemaps.contains(k)) discoveredSitemaps.put(k, u)
         }
         epoch = e + 1
       }
@@ -1021,6 +1036,9 @@ class CrawlEngine(
         case None => parsedV
       }
       val vetoedCount = (parsedV.length - afterVeto.length).toLong
+      if (sitemapChain && !chainStarted)
+        CrawlEngine.accumulateDiscoveredSitemaps(discoveredSitemaps,
+          parsedV.iterator.flatMap(_.sitemap_links).toSeq)
       var expandingV: Seq[ParsedPage] = Vector.empty
       if (chainStarted) {
         val smDocs = parsedV.filter(p =>
@@ -1077,7 +1095,7 @@ class CrawlEngine(
         (System.nanoTime() - epochT0) / 1000000L, robotsBlockedCount, vetoedCount)
       checkpoint.foreach(_.commit(epoch, frontierDf, seen, signatures, hostTokensDf(), pages,
         seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,
-        chainStarted, chainSitemapLower.toSeq.sorted))
+        chainStarted, chainSitemapLower.toSeq.sorted, discoveredSitemaps.values.toSeq))
       epoch += 1
       onEpoch.foreach(f => f(epoch - 1))
       done = budgetStopped || frontierCount == 0 || epoch >= config.maxEpochs ||
@@ -1528,6 +1546,16 @@ class CrawlEngine(
             val live = !(retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts)
             parsed.filter(live).count() - expanding.filter(live).count()
           } else 0L
+        if (sitemapChain && !chainStarted) {
+          // rel=sitemap auto-discovery (one tiny extra job per epoch,
+          // only when the caller requested the chain; ads are distinct
+          // sitemap DOCS, so the collect is bounded by the cap)
+          val ads = parsed.toDF()
+            .select(explode(col("sitemap_links")).as("__u")).distinct()
+            .orderBy(col("__u")).limit(CrawlEngine.maxDiscoveredSitemaps)
+            .as[String].collect()
+          CrawlEngine.accumulateDiscoveredSitemaps(discoveredSitemaps, ads.toSeq)
+        }
         if (chainStarted) {
           // chain phase: ONLY sitemap docs expand — their <loc> entries
           // plus recursive <sitemapindex> locs; entry pages are recorded
@@ -1718,7 +1746,7 @@ class CrawlEngine(
 
         checkpoint.foreach(_.commit(epoch, frontier, seen, signatures, hostTokensDf(), pages,
           seqCounter, wildcardRemaining, pathBudget, scope, metrics.toSeq,
-          chainStarted, chainSitemapLower.toSeq.sorted))
+          chainStarted, chainSitemapLower.toSeq.sorted, discoveredSitemaps.values.toSeq))
 
         epochCache.foreach(_.unpersist(false))
         epochCache = None
@@ -1741,8 +1769,14 @@ class CrawlEngine(
     if (sitemapChain && !chainStarted && !budgetStopped && !shutdownRequested &&
         System.nanoTime() < deadline && epoch < config.maxEpochs) {
       chainStarted = true
-      val sms = seedSitemapUrls // canonicalized; stored lowercased with the
+      // seeds' configured sitemap URL + page-advertised discoveries, in
+      // deterministic order; canonicalized, stored lowercased with the
       // SAME mapping the Spark lower() probes apply (UTF8String.toLowerCase)
+      val sms = {
+        val dedup = scala.collection.mutable.Set.empty[String]
+        (seedSitemapUrls ++ discoveredSitemaps.values)
+          .filter(u => dedup.add(UrlOps.lowerUtf8(u)))
+      }
       if (sms.nonEmpty) {
         chainSitemapLower ++= sms.map(UrlOps.lowerUtf8)
         sms.foreach(inbox.add)
@@ -1775,6 +1809,29 @@ object CrawlEngine {
     * A var so the cap + eviction path is testable at toy scale.
     */
   @volatile private[engine] var lruHostCap: Int = 100000
+
+  /** Cap on sitemap auto-discovery (bounds the per-epoch distributed
+    * collect and the driver-side set; distinct sitemap DOCUMENTS, never
+    * pages, so 10k covers any real site fleet).
+    */
+  private[engine] val maxDiscoveredSitemaps = 10000
+
+  /** A6 — sitemap auto-discovery accumulation (reference `link[rel=
+    * sitemap]`, `website.rs:12512`): page-advertised sitemap URLs join the
+    * chain. ONE deterministic rule shared verbatim by both engine paths
+    * and the oracle — per epoch the advertised set is UTF-8-sorted before
+    * case-insensitive keep-first insertion, so injection order (and hence
+    * the sitemap docs' discovery_seq) never depends on fetch iteration
+    * order.
+    */
+  private[graft] def accumulateDiscoveredSitemaps(
+      acc: scala.collection.mutable.LinkedHashMap[String, String],
+      epochLinks: Seq[String]): Unit = {
+    epochLinks.distinct.sorted(Sequential.utf8Ordering).foreach { u =>
+      val k = graft.url.UrlOps.lowerUtf8(u)
+      if (acc.size < maxDiscoveredSitemaps && !acc.contains(k)) acc.put(k, u)
+    }
+  }
 
   /** D4 — deterministic hot-host salt selection: keep the 64 WIDEST hints
     * (width desc, host asc tiebreak). A bare `.take(64)` on the unordered

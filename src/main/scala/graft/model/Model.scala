@@ -162,7 +162,13 @@ final case class CrawlConfig(
     // robots-blocked candidate and vetoed page counts in EpochMetrics.
     // On the distributed path this costs two extra count jobs per epoch,
     // so it is opt-in; the small-epoch fast path counts them for free.
-    trackBlocked: Boolean = false
+    trackBlocked: Boolean = false,
+    // A6 — per-host sitemap document path (reference `sitemap_url` /
+    // `with_sitemap`, `configuration.rs:391,1178-1190`): the chain and
+    // sitemap-only walks request `<seed scheme+host><sitemapUrl>`.
+    // Sitemaps advertised by crawled pages (`link[rel=sitemap]`,
+    // `website.rs:12512` — span kind "sitemap" here) join the chain too.
+    sitemapUrl: String = "/sitemap.xml"
 ) {
   /** Effective wildcard budgeting flag (`determine_limits` `website.rs:14068-14075`). */
   def wildCardBudgeting: Boolean = budget.contains("*")

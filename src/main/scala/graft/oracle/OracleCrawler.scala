@@ -99,17 +99,22 @@ object OracleCrawler {
     // A6 chain mirror (engine: sitemap chained AFTER the crawl)
     var chainStarted = false
     val chainSm = scala.collection.mutable.Set.empty[String]
+    // rel=sitemap auto-discovery mirror — same deterministic accumulation
+    // rule as both engine paths (CrawlEngine.accumulateDiscoveredSitemaps)
+    val discoveredSm = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val smPath =
+      if (config.sitemapUrl.startsWith("/")) config.sitemapUrl else "/" + config.sitemapUrl
+    def seedSitemapUrls: Seq[String] = seedUrls
+      .flatMap(s => Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = smPath).serialize))
+      .flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
     var pendingInbox = Vector.empty[String]
     if (sitemapOnly) {
       // sitemap-ONLY walk mirror (reference `crawl_sitemap()`,
       // `website.rs:6994-7028`): the chain starts at epoch 0 from each
-      // seed's /sitemap.xml; seed pages are never fetched
+      // seed's configured sitemap URL; seed pages are never fetched
       chainStarted = true
       val smSeen = scala.collection.mutable.Set.empty[String]
-      val canonSms = seedUrls
-        .flatMap(s => Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = "/sitemap.xml").serialize))
-        .flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-        .filter(u => smSeen.add(UrlOps.lowerUtf8(u)))
+      val canonSms = seedSitemapUrls.filter(u => smSeen.add(UrlOps.lowerUtf8(u)))
       chainSm ++= canonSms.map(UrlOps.lowerUtf8(_))
       frontier = canonSms.zipWithIndex.map { case (u, i) =>
         FrontierEntry(u, UrlOps.host(u), 0, i.toLong, UrlOps.scoreUrl(u, 0), 0, 0L)
@@ -253,6 +258,9 @@ object OracleCrawler {
           pages += OraclePage(p.url, p.final_url, p.host, p.depth, p.discovery_seq,
             p.epoch, p.status, p.signature, p.links.toSeq)
         }
+        if (sitemapChain && !chainStarted)
+          CrawlEngine.accumulateDiscoveredSitemaps(discoveredSm,
+            parsed.iterator.flatMap(_.sitemap_links).toSeq)
 
         // 10. signature dedup: canonical-first page per NEW signature expands
         val expanding =
@@ -306,12 +314,12 @@ object OracleCrawler {
     // skipped when the wildcard budget is already exhausted
     if (sitemapChain && !chainStarted && !budgetStopped && epoch < config.maxEpochs) {
       chainStarted = true
-      val sms = seedUrls.flatMap { s =>
-        Option(UrlOps.parseCrawlBase(s)).map(_.copy(path = "/sitemap.xml").serialize)
+      val sms = {
+        val dedup = scala.collection.mutable.Set.empty[String]
+        (seedSitemapUrls ++ discoveredSm.values).filter(u => dedup.add(UrlOps.lowerUtf8(u)))
       }
       if (sms.nonEmpty) {
-        chainSm ++= sms.flatMap(u => Option(UrlOps.convertAbsPath(u, u)))
-          .map(UrlOps.lowerUtf8(_))
+        chainSm ++= sms.map(UrlOps.lowerUtf8(_))
         pendingInbox ++= sms
         done = false
       } else crawling = false

@@ -343,6 +343,34 @@ object Drive {
         f"secs=$secs%.1f parity=${eP == oP} onlyE=${(eP -- oP).take(3)} onlyO=${(oP -- eP).take(3)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("sitemapdrive")) {
+      // A6 round-5: custom sitemap path + rel=sitemap auto-discovery, on
+      // the DISTRIBUTED path (threshold=0) with codegen forced
+      import graft.corpus.CorpusParams
+      import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+      import graft.model.CrawlConfig
+      val spark = session()
+      val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5,
+        sitemapPath = "/wp-sitemap.xml", advertiseSitemap = true)
+      val robots = new CorpusRobots(params)
+      val er = new CrawlEngine(spark, CrawlConfig(maxEpochs = 60, smallEpochThreshold = 0),
+        new GenerativeFetcher(params), robots, expectedUrls = 100000L)
+        .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+      val pages = er.pages.select("url").collect().map(_.getString(0))
+      println(s"DRIVE pages=${pages.length} " +
+        s"orphan12=${pages.exists(_.endsWith(graft.corpus.CorpusGen.pagePath(12L)))} " +
+        s"smFetched=${er.seen.collect().map(_.getString(0)).count(_.contains("wp-sitemap"))}")
+      // configured custom path, no advertisement
+      val p2 = params.copy(advertiseSitemap = false, sitemapPath = "/sitemap_index.xml")
+      val er2 = new CrawlEngine(spark,
+        CrawlConfig(maxEpochs = 60, smallEpochThreshold = 0, sitemapUrl = "/sitemap_index.xml"),
+        new GenerativeFetcher(p2), new CorpusRobots(p2), expectedUrls = 100000L)
+        .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+      val pages2 = er2.pages.select("url").collect().map(_.getString(0))
+      println(s"DRIVE2 pages=${pages2.length} " +
+        s"orphan12=${pages2.exists(_.endsWith(graft.corpus.CorpusGen.pagePath(12L)))}")
+      return
+    }
     if (args.headOption.contains("crawl")) { crawlDemo(); return }
     if (args.headOption.contains("frontierdiag")) {
       import graft.corpus.CorpusParams

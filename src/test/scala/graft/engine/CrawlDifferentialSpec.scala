@@ -343,6 +343,58 @@ class CrawlDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("custom sitemap URL: chain fetches the configured path (with_sitemap, configuration.rs:1178)") {
+    // corpus serves its sitemap at /sitemap_index.xml (very common in the
+    // wild); orphan pages are reachable ONLY via the sitemaps
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5,
+      sitemapPath = "/sitemap_index.xml")
+    val robots = new CorpusRobots(params)
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = CrawlConfig(maxEpochs = 60, sitemapUrl = "/sitemap_index.xml")
+    val or = OracleCrawler.crawl(params, cfg, robots, Seq("https://www.site0.com/"),
+      sitemapChain = true)
+    assert(or.seen.exists(_.endsWith("/sitemap_index.xml")), "configured sitemap not fetched")
+    // orphan page reachable only through the custom-path sitemap
+    assert(or.pages.exists(_.url.endsWith(graft.corpus.CorpusGen.pagePath(12L))),
+      "sitemap-only orphan page not crawled via custom path")
+    for (threshold <- Seq(4096, 0)) {
+      val er = new CrawlEngine(spark, cfg.copy(smallEpochThreshold = threshold),
+        new GenerativeFetcher(params), robots, expectedUrls = 100000L)
+        .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+      assertParity(er, or)
+    }
+    // control: the DEFAULT /sitemap.xml 404s against this corpus, so the
+    // chain contributes no orphan pages
+    val dflt = OracleCrawler.crawl(params, CrawlConfig(maxEpochs = 60), robots,
+      Seq("https://www.site0.com/"), sitemapChain = true)
+    assert(!dflt.pages.exists(_.url.endsWith(graft.corpus.CorpusGen.pagePath(12L))),
+      "default-path chain should find nothing on a custom-path corpus")
+  }
+
+  test("page-advertised sitemap joins the chain (link[rel=sitemap], website.rs:12512)") {
+    // sitemap lives at /wp-sitemap.xml and is NOT configured — only the
+    // root page's rel=sitemap span advertises it; the default /sitemap.xml
+    // 404s, so every orphan page the chain finds proves auto-discovery
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5,
+      sitemapPath = "/wp-sitemap.xml", advertiseSitemap = true)
+    val robots = new CorpusRobots(params)
+    spark.sparkContext.setLogLevel("ERROR")
+    val cfg = CrawlConfig(maxEpochs = 60)
+    val or = OracleCrawler.crawl(params, cfg, robots, Seq("https://www.site0.com/"),
+      sitemapChain = true)
+    assert(or.seen.exists(_.endsWith("/wp-sitemap.xml")), "advertised sitemap not fetched")
+    assert(or.pages.exists(_.url.endsWith(graft.corpus.CorpusGen.pagePath(12L))),
+      "orphan page not reached through the discovered sitemap")
+    // rel=sitemap spans must never leak into the frontier as page links
+    assert(!or.pages.exists(_.url.contains("sitemap")), "sitemap XML emitted as a page")
+    for (threshold <- Seq(4096, 0)) {
+      val er = new CrawlEngine(spark, cfg.copy(smallEpochThreshold = threshold),
+        new GenerativeFetcher(params), robots, expectedUrls = 100000L)
+        .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+      assertParity(er, or)
+    }
+  }
+
   test("B11 veto does not suppress sitemap-doc expansion in the chain (veto+chain)") {
     // the veto hits ONLY chain-phase sitemap docs (no sitemap URL is
     // fetched in the main phase); the reference parses sitemaps outside

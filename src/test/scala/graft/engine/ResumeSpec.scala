@@ -97,6 +97,41 @@ class ResumeSpec extends AnyFunSuite {
     assert(fullSeen == resSeen)
   }
 
+  test("kill BEFORE the chain keeps rel=sitemap discoveries (discovered_sitemaps lineage)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    // sitemap at an UNCONFIGURED path, advertised only by the root page's
+    // rel=sitemap span: killing after discovery but before the chain must
+    // preserve the discovery in the manifest, or the resumed chain walks
+    // only the (404ing) default /sitemap.xml and loses the orphan pages
+    val params = CorpusParams(hosts = 2, pagesPerHost = 90, fanout = 2, orphanEvery = 5,
+      sitemapPath = "/wp-sitemap.xml", advertiseSitemap = true)
+    val cfg = CrawlConfig(maxEpochs = 60)
+    def eng(c: CrawlConfig, ck: Option[Checkpointer] = None) =
+      new CrawlEngine(spark, c, new GenerativeFetcher(params), new CorpusRobots(params),
+        expectedUrls = 10000, checkpoint = ck)
+    val full = eng(cfg).crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    assert(full.pages.collect().exists(_.getString(0).endsWith(graft.corpus.CorpusGen.pagePath(12L))),
+      "orphan page unreached even uninterrupted — corpus shape broken")
+    // interrupt two epochs in: root page (epoch 0) already advertised the
+    // sitemap, the chain has NOT started yet
+    val dir = Files.createTempDirectory("graft_ckpt5").toString
+    val ck = new Checkpointer(spark, dir, every = 1)
+    eng(cfg.copy(maxEpochs = 2), Some(ck))
+      .crawl(Seq("https://www.site0.com/"), sitemapChain = true)
+    val manifest = ck.readManifest(ck.latestEpoch())
+    assert(!manifest.contains("\"chain_started\":true"), "chain started too early to test")
+    assert(Checkpointer.discoveredSitemaps(manifest).exists(_.endsWith("/wp-sitemap.xml")),
+      "rel=sitemap discovery missing from the manifest")
+    val resumed = CrawlEngine.resume(spark, cfg, new GenerativeFetcher(params),
+      new CorpusRobots(params), ck, Seq("https://www.site0.com/"),
+      expectedUrls = 10000, sitemapChain = true)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "depth", "discovery_seq", "status", "signature")
+        .collect().map(_.toSeq).toSet
+    assert(key(resumed.pages) == key(full.pages),
+      s"resumed=${resumed.pages.count()} full=${full.pages.count()}")
+  }
+
   test("resume ACROSS a compaction boundary of the co-partitioned stores") {
     spark.sparkContext.setLogLevel("ERROR")
     // compaction every 2 epochs + politeness pacing (~8+ epochs): the

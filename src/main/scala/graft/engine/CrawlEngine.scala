@@ -77,7 +77,13 @@ final case class CrawlResult(
     seen: DataFrame,
     frontierRemainder: DataFrame, // reference `extra_links` (budget stop leftovers)
     metrics: Seq[EpochMetrics],
-    epochs: Long)
+    epochs: Long,
+    // B11 side outputs (reference `on_robots_blocked` `website.rs:1980-1982`,
+    // `blocked_crawl` `page.rs:2446`): one row per blocked URL with
+    // reason ∈ {robots, veto} and the epoch it was blocked in. Populated
+    // only under `trackBlocked` (empty otherwise); EpochMetrics counts are
+    // the per-epoch aggregates of this table.
+    blocked: DataFrame)
 
 /** The crawl engine: the reference's `crawl_concurrent_raw` loop
   * (`spider/src/website.rs:7736-8712`) re-founded as a micro-batch frontier
@@ -426,6 +432,48 @@ class CrawlEngine(
         } catch { case _: Throwable => }
       }))
       dir.toString
+    }
+    // blocked-row side sink (B11 parity): same per-epoch-delta/one-relation
+    // pattern as the page sink — blocked URLs are data-scale on a robots-
+    // heavy crawl, so they must never accumulate on the driver. The small
+    // path's rows (bounded per epoch by the threshold) buffer driver-side
+    // and spill to the sink past a fixed cap; distributed epochs write
+    // deltas directly.
+    lazy val blockedSink = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-blocked-").toAbsolutePath
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      }))
+      dir.toString
+    }
+    var blockedWritten = false
+    var blockedDeltaN = 0
+    val blockedBuf = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    def sinkBlockedDelta(df: DataFrame, tag: String): Long = {
+      blockedDeltaN += 1
+      val dir = s"$blockedSink/delta_${blockedDeltaN}_$tag"
+      df.write.mode("overwrite").parquet(dir)
+      blockedWritten = true
+      spark.read.schema(CrawlEngine.blockedSchema).parquet(dir).count()
+    }
+    def flushBlockedBuf(): Unit = if (blockedBuf.nonEmpty) {
+      import spark.implicits._
+      blockedDeltaN += 1
+      blockedBuf.toSeq.toDF("url", "reason", "epoch")
+        .coalesce(1).write.mode("overwrite").parquet(s"$blockedSink/delta_${blockedDeltaN}_buf")
+      blockedWritten = true
+      blockedBuf.clear()
+    }
+    def blockedDf: DataFrame = {
+      flushBlockedBuf()
+      if (!blockedWritten)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], CrawlEngine.blockedSchema)
+      else spark.read.schema(CrawlEngine.blockedSchema)
+        .option("recursiveFileLookup", "true").parquet(blockedSink)
     }
     val emptySeen = spark.emptyDataset[(String, String)].toDF("url_lower", "url")
     val emptySigs = spark.emptyDataset[Long].toDF("sig")
@@ -895,10 +943,14 @@ class CrawlEngine(
       val listsPassV = unseenV.filter(e =>
         (config.whitelist.isEmpty || listedLocal(config.whitelist, e.url)) &&
           (config.blacklist.isEmpty || !listedLocal(config.blacklist, e.url)))
-      val robotsPassV =
-        if (!config.respectRobotsTxt) listsPassV
-        else listsPassV.filter(e => robots.policyFor(e.host).canFetch(config.userAgent, e.url))
-      val robotsBlockedCount = (listsPassV.size - robotsPassV.size).toLong
+      val (robotsPassV, robotsBlockedV) =
+        if (!config.respectRobotsTxt) (listsPassV, Vector.empty[FrontierEntry])
+        else listsPassV.partition(e => robots.policyFor(e.host).canFetch(config.userAgent, e.url))
+      val robotsBlockedCount = robotsBlockedV.size.toLong
+      if (config.trackBlocked && robotsBlockedV.nonEmpty) {
+        robotsBlockedV.foreach(e => blockedBuf += ((e.url, "robots", epoch.toLong)))
+        if (blockedBuf.size >= CrawlEngine.blockedBufCap) flushBlockedBuf()
+      }
       val gated0 = robotsPassV.filter { e =>
         config.depth <= 0 || UrlOps.pathDepth(e.url) <= depthDistance
       }
@@ -1036,6 +1088,11 @@ class CrawlEngine(
         case None => parsedV
       }
       val vetoedCount = (parsedV.length - afterVeto.length).toLong
+      if (config.trackBlocked && vetoedCount > 0) {
+        val veto = onShouldCrawl.get
+        parsedV.filterNot(veto).foreach(p => blockedBuf += ((p.url, "veto", epoch.toLong)))
+        if (blockedBuf.size >= CrawlEngine.blockedBufCap) flushBlockedBuf()
+      }
       if (sitemapChain && !chainStarted)
         CrawlEngine.accumulateDiscoveredSitemaps(discoveredSitemaps,
           parsedV.iterator.flatMap(_.sitemap_links).toSeq)
@@ -1211,14 +1268,20 @@ class CrawlEngine(
         //    no-op shuffle — removed.
 
         // 3. stateless gates: lists, robots, depth. The robots-blocked side
-        // output (reference on_robots_blocked) is opt-in here: counting it
-        // re-executes the lazy gate prefix twice
+        // output (reference on_robots_blocked) is opt-in here: the blocked
+        // complement re-executes the lazy gate prefix once more, writing
+        // its rows as a parquet delta (never a driver collect — blocked
+        // URLs are data-scale on a robots-heavy crawl); the metric count
+        // reads back the delta's footers
         val listsPass = listsGate(unseen.drop("url_lower").as[FrontierEntry])
         val robotsPass = robotsGate(listsPass)
         val robotsBlockedCount =
-          if (config.trackBlocked && config.respectRobotsTxt)
-            listsPass.count() - robotsPass.count()
-          else 0L
+          if (config.trackBlocked && config.respectRobotsTxt) {
+            val blockedRows = listsPass
+              .filter(!enginefns.robots_can_fetch(col("host"), col("url"), robots, config.userAgent))
+              .select(col("url"), lit("robots").as("reason"), lit(epoch.toLong).as("epoch"))
+            sinkBlockedDelta(blockedRows, "robots")
+          } else 0L
         val gated0 = depthGate(robotsPass, depthDistance).toDF()
 
         // 4. B9 politeness FIRST: per-host token-bucket quota, highest
@@ -1541,10 +1604,14 @@ class CrawlEngine(
         }).toDF()
         val vetoedCount =
           if (config.trackBlocked && onShouldCrawl.isDefined) {
-            // counted over NON-retried rows only, matching the fast path
-            // (a retried page re-parses on its retry epoch)
+            // rows over NON-retried pages only, matching the fast path
+            // (a retried page re-parses on its retry epoch); written as a
+            // parquet delta, counted from the delta
             val live = !(retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts)
-            parsed.filter(live).count() - expanding.filter(live).count()
+            val veto = onShouldCrawl.get
+            val vetoedRows = parsed.filter(live).filter(p => !veto(p))
+              .toDF().select(col("url"), lit("veto").as("reason"), lit(epoch.toLong).as("epoch"))
+            sinkBlockedDelta(vetoedRows, "veto")
           } else 0L
         if (sitemapChain && !chainStarted) {
           // rel=sitemap auto-discovery (one tiny extra job per epoch,
@@ -1788,7 +1855,7 @@ class CrawlEngine(
     val finalPages = // the sitemap XML itself is parsed, never emitted as a page
       if (chainSitemapLower.isEmpty) pages
       else pages.filter(!lower(col("url")).isInCollection(chainSitemapLower.toSeq))
-    CrawlResult(finalPages, seen, frontierDf, metrics.toSeq, epoch)
+    CrawlResult(finalPages, seen, frontierDf, metrics.toSeq, epoch, blockedDf)
   }
 }
 
@@ -1856,6 +1923,19 @@ object CrawlEngine {
     */
   val parsedSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.Encoders.product[ParsedPage].schema
+
+  /** Schema of the blocked side-output table (B11 parity). */
+  val blockedSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("url", StringType), StructField("reason", StringType),
+      StructField("epoch", LongType)))
+  }
+
+  /** Small-path blocked rows buffer driver-side up to this many rows, then
+    * spill to the parquet sink (keeps the fast path at its usual job count
+    * while bounding driver memory on long trackBlocked crawls).
+    */
+  private[engine] val blockedBufCap = 65536
 
   /** Case-insensitive frontier dedup keeping the canonical-min row
     * (depth, discovery_seq, host, url) — a map-side-combining hash

@@ -122,6 +122,60 @@ final class RevalidatingFetcher(inner: Fetcher, cache: Map[String, FetchResult])
   }
 }
 
+/** Whole-crawl cache warm start (reference `try_cache_shortcircuit`
+  * `website.rs:6962`): a repeat crawl is served from a PRIOR crawl's
+  * `pages` table — admitted URLs left-join the table distributedly (AQE
+  * broadcasts the smaller side; at 100 TB both sides shuffle on `url`,
+  * never a driver map), hits replay the recorded status/final_url/spans/
+  * charset/etag with zero body fetches, and only misses reach `inner`.
+  * Cached hits report latency 0 (they cost no round-trip), so the
+  * EMA auto-throttle correctly never paces them.
+  */
+final class WarmStartFetcher(inner: Fetcher, priorPages: DataFrame) extends Fetcher {
+  override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cache = priorPages.select(col("url").as("c_url"),
+      col("final_url").as("c_final_url"), col("status").as("c_status"),
+      col("spans").as("c_spans"), col("charset").as("c_charset"), col("etag").as("c_etag"))
+    val joined = admitted.toDF().join(cache, admitted("url") === col("c_url"), "left")
+    val hits = joined.filter(col("c_url").isNotNull).select(
+      col("url"), col("host"), col("depth"), col("discovery_seq"),
+      col("priority"), col("attempt"), col("c_status").as("f_status"),
+      coalesce(col("c_final_url"), col("url")).as("f_final_url"),
+      coalesce(col("c_spans"),
+        array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+        .as("f_spans"),
+      lit(0L).as("f_retry_after_ms"), lit(0L).as("f_latency_ms"),
+      col("c_charset").as("f_charset"), col("c_etag").as("f_etag")).as[FetchResult]
+    val misses = joined.filter(col("c_url").isNull)
+      .select(col("url"), col("host"), col("depth"), col("discovery_seq"),
+        col("priority"), col("attempt"), col("not_before")).as[FrontierEntry]
+    hits.unionByName(inner.fetch(spark, misses))
+  }
+}
+
+object Fetcher {
+  /** Driver-side warm-start cache for the broadcast seams
+    * ([[SeededFetcher]]: hits never fetched; [[RevalidatingFetcher]]:
+    * 304 → cached row): prior `pages` rows → per-URL [[FetchResult]].
+    * The map is collected and broadcast, so bound it — `maxRows` caps the
+    * collect (keep it to the hot set at scale; use [[WarmStartFetcher]]
+    * for whole-table warm starts, which never leave the executors).
+    */
+  def cacheFromPages(pages: DataFrame, maxRows: Int = 100000): Map[String, FetchResult] = {
+    import org.apache.spark.sql.functions._
+    pages.select(col("url"), col("final_url"), col("status"), col("spans"),
+        col("charset"), col("etag"))
+      .limit(maxRows).collect().map { r =>
+        val spans = r.getSeq[org.apache.spark.sql.Row](3).map(s =>
+          Span(s.getString(0), s.getString(1), s.getString(2), s.getInt(3))).toArray
+        r.getString(0) -> FetchResult(r.getString(0), null, 0, 0L, 0, 0,
+          r.getInt(2), r.getString(1), spans, 0L, 0L, r.getString(4), r.getString(5))
+      }.toMap
+  }
+}
+
 /** Fetches by joining the admitted batch against a corpus TABLE in
   * input_hint shape (`doc_id, spans` + sidecars) — the production path when
   * documents live in a real table. Redirect chains resolve via bounded

@@ -343,6 +343,42 @@ object Drive {
         f"secs=$secs%.1f parity=${eP == oP} onlyE=${(eP -- oP).take(3)} onlyO=${(oP -- eP).take(3)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("warmblocked")) {
+      // drive the blocked side-output table + whole-table warm start
+      // end-to-end on the DISTRIBUTED path (threshold=0)
+      import graft.corpus.CorpusParams
+      import graft.engine._
+      import graft.model.{CrawlConfig, FrontierEntry}
+      val spark = session(8)
+      val params = CorpusParams(hosts = 2, pagesPerHost = 60)
+      val gen = new GenerativeFetcher(params)
+      val robots = new CorpusRobots(params)
+      val cfg = CrawlConfig(respectRobotsTxt = true, maxEpochs = 30,
+        trackBlocked = true, smallEpochThreshold = 0)
+      val base = new CrawlEngine(spark, cfg, gen, robots, expectedUrls = 10000,
+        onShouldCrawl = Some(p => !p.url.contains("/docs/")))
+        .crawl(Seq("https://www.site1.com/"))
+      val byReason = base.blocked.groupBy("reason").count().collect()
+        .map(r => r.getString(0) + "=" + r.getLong(1)).sorted.mkString(",")
+      val inner = new java.util.concurrent.atomic.AtomicLong()
+      val spy = new Fetcher {
+        override def fetch(spark: org.apache.spark.sql.SparkSession,
+            admitted: org.apache.spark.sql.Dataset[FrontierEntry]) = {
+          inner.addAndGet(admitted.count()); gen.fetch(spark, admitted)
+        }
+      }
+      val warm = new CrawlEngine(spark, cfg, new WarmStartFetcher(spy, base.pages),
+        robots, expectedUrls = 10000,
+        onShouldCrawl = Some(p => !p.url.contains("/docs/")))
+        .crawl(Seq("https://www.site1.com/"))
+      val eq = base.pages.select("url", "signature", "status").collect().map(_.toSeq).toSet ==
+        warm.pages.select("url", "signature", "status").collect().map(_.toSeq).toSet
+      println(s"WARMBLOCKED pages=${base.pages.count()} blocked[$byReason] " +
+        s"warm_inner_fetches=${inner.get()} warm_equal=$eq " +
+        s"metrics_robots=${base.metrics.map(_.robots_blocked).sum} " +
+        s"metrics_veto=${base.metrics.map(_.vetoed).sum}")
+      spark.stop(); return
+    }
     if (args.headOption.contains("sitemapdrive")) {
       // A6 round-5: custom sitemap path + rel=sitemap auto-discovery, on
       // the DISTRIBUTED path (threshold=0) with codegen forced

@@ -326,6 +326,40 @@ class ControlSpec extends AnyFunSuite {
       "304-revalidated crawl must equal the unconditional crawl exactly")
   }
 
+  test("warm start: repeat crawl served from the prior pages table, zero body fetches (try_cache_shortcircuit, website.rs:6962)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    val gen = new GenerativeFetcher(params)
+    val cfg = CrawlConfig(maxEpochs = 20)
+    val base = new CrawlEngine(spark, cfg, gen, new CorpusRobots(params),
+      expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "final_url", "status", "signature", "title", "etag")
+        .collect().map(_.toSeq).toSet
+    val baseKeys = key(base.pages)
+    val spyFetched = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val spy = new Fetcher {
+      override def fetch(spark: SparkSession, admitted: org.apache.spark.sql.Dataset[graft.model.FrontierEntry]) = {
+        admitted.collect().foreach(e => spyFetched.add(e.url))
+        gen.fetch(spark, admitted)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    // distributed whole-table warm start: admitted LEFT JOIN prior pages,
+    // misses (none here) to inner
+    val warm = new CrawlEngine(spark, cfg, new WarmStartFetcher(spy, base.pages),
+      new CorpusRobots(params), expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    assert(key(warm.pages) == baseKeys, "warm-start crawl must equal the original exactly")
+    assert(spyFetched.isEmpty,
+      s"warm start fetched bodies: ${spyFetched.asScala.take(5).toSeq}")
+    // driver-side composition: bounded cache map feeding the SeededFetcher seam
+    val cache = Fetcher.cacheFromPages(base.pages)
+    val seeded = new CrawlEngine(spark, cfg, new SeededFetcher(spy, cache),
+      new CorpusRobots(params), expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    assert(key(seeded.pages) == baseKeys, "seeded warm start must equal the original exactly")
+    assert(spyFetched.isEmpty,
+      s"seeded warm start fetched bodies: ${spyFetched.asScala.take(5).toSeq}")
+  }
+
   test("blocked side outputs: robots-blocked and vetoed counts in EpochMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     // host1 robots disallows /legal/ -> blocked candidates counted; the veto
@@ -343,6 +377,30 @@ class ControlSpec extends AnyFunSuite {
       assert(res.metrics.map(_.vetoed).sum > 0,
         s"no vetoed pages surfaced (threshold=$threshold)")
       assert(!res.pages.collect().exists(_.getString(0).startsWith("https://www.site1.com/legal/")))
+      // the blocked TABLE carries the URLs (on_robots_blocked receives each
+      // URL, website.rs:1980-1982; blocked_crawl marks pages, page.rs:2446)
+      val rows = res.blocked.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val robotsRows = rows.filter(_._2 == "robots")
+      val vetoRows = rows.filter(_._2 == "veto")
+      assert(robotsRows.nonEmpty && robotsRows.forall(_._1.contains("/legal/")),
+        s"robots rows wrong (threshold=$threshold): ${robotsRows.take(3).toSeq}")
+      assert(vetoRows.nonEmpty && vetoRows.forall(_._1.contains("/docs/")),
+        s"veto rows wrong (threshold=$threshold): ${vetoRows.take(3).toSeq}")
+      // metrics counts ARE the per-epoch aggregates of the table
+      val tableByEpoch = rows.groupBy(r => (r._3, r._2)).view.mapValues(_.length.toLong).toMap
+      res.metrics.foreach { m =>
+        assert(m.robots_blocked == tableByEpoch.getOrElse((m.epoch, "robots"), 0L),
+          s"epoch ${m.epoch} robots count != table (threshold=$threshold)")
+        assert(m.vetoed == tableByEpoch.getOrElse((m.epoch, "veto"), 0L),
+          s"epoch ${m.epoch} veto count != table (threshold=$threshold)")
+      }
     }
+    // trackBlocked=false: empty table, zero extra jobs
+    val off = new CrawlEngine(spark,
+      CrawlConfig(respectRobotsTxt = true, maxEpochs = 30),
+      new GenerativeFetcher(params), new CorpusRobots(params), expectedUrls = 10000)
+      .crawl(Seq("https://www.site1.com/"))
+    assert(off.blocked.count() == 0L)
   }
 }

@@ -36,7 +36,8 @@ final case class CorpusParams(
     orphanEvery: Int = 0, // pages with p%k==2 get NO inbound tree/cross links (sitemap-only; 0=off)
     textWords: Int = 12, // base words per text span (bench uses realistic ~150)
     sitemapPath: String = "/sitemap.xml", // where each host serves its sitemap (custom-path scenario)
-    advertiseSitemap: Boolean = false // root pages carry a rel=sitemap span pointing at sitemapPath
+    advertiseSitemap: Boolean = false, // root pages carry a rel=sitemap span pointing at sitemapPath
+    seedRedirectToHost: Int = -1 // host 0's root 301s to this host's root (C6 re-anchor scenario; -1=off)
 ) {
   def pagesFor(hostIdx: Int): Int = if (hostIdx == 0) pagesPerHost * hotHostFactor else pagesPerHost
   def totalPages: Long = (0 until hosts).map(pagesFor(_).toLong).sum
@@ -207,7 +208,11 @@ object CorpusGen {
     */
   def statusFor(params: CorpusParams, hostIdx: Int, sub: Boolean, p: Long): (Int, String) = {
     val pages = if (sub) subPages(params, hostIdx) else params.pagesFor(hostIdx)
-    if (params.redirectEvery > 1 && p > 0 && p % params.redirectEvery == 0 && p + 1 < pages) {
+    if (params.seedRedirectToHost >= 0 && hostIdx == 0 && !sub && p == 0) {
+      // cross-host seed redirect: exercises the epoch-0 scope re-anchor
+      // (reference `modify_selectors` `page.rs:4736-4747`)
+      (301, s"${params.scheme}://${hostName(params.seedRedirectToHost)}/")
+    } else if (params.redirectEvery > 1 && p > 0 && p % params.redirectEvery == 0 && p + 1 < pages) {
       val host = if (sub) subHostName(hostIdx) else hostName(hostIdx)
       (301, s"${params.scheme}://$host${pagePath(p + 1)}")
     } else if (params.errorEvery > 1 && p > 0 && p % params.errorEvery == 0) {

@@ -144,6 +144,7 @@ class CrawlEngine(
     */
   private def P = math.max(spark.sessionState.conf.numShufflePartitions,
     spark.sparkContext.defaultParallelism)
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[CrawlEngine])
   private val trace = sys.env.get("SPARK_GRAFT_TRACE").contains("1")
   private def timed[T](label: String)(f: => T): T = {
     if (!trace) f else {
@@ -555,11 +556,21 @@ class CrawlEngine(
     // cardinality.
     var hotHostWidths: Map[String, Int] = Map.empty
     type AdmitStat = (Int, Long, Array[Byte], Array[(String, Long)])
+    // partition count of the stats map stage — drainAdmitStats compares the
+    // flushed entries against it to DETECT a Fetcher that violated the
+    // full-consumption contract (see the Fetcher trait doc): a missing
+    // shard would let already-seen URLs pass the bloom as definitely-new
+    // and bypass the exact probe, so detection falls back to a dedicated
+    // rebuild scan of the persisted admitted set.
+    var admitStatsParts = 0
     def withAdmitStats(df: DataFrame, expectedUpper: Long,
         acc: org.apache.spark.util.CollectionAccumulator[AdmitStat]): DataFrame = {
       val size = math.max(1024L, expectedUpper)
       val urlIdx = df.schema.fieldIndex("url")
       val hostIdx = df.schema.fieldIndex("host")
+      // same lazy toRdd the mapInternal below wraps — no extra planning
+      admitStatsParts =
+        org.apache.spark.sql.GraftSqlBridge.internalRdd(df).getNumPartitions
       org.apache.spark.sql.GraftSqlBridge.mapInternal(df, df.schema) { (_, it) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         // rebind captures as lambda-body locals: Spark's ClosureCleaner
@@ -575,14 +586,20 @@ class CrawlEngine(
             val h = it.hasNext
             if (!h && !flushed) {
               flushed = true
-              if (n > 0) {
+              // empty partitions flush too (null shard): the drain counts
+              // flushed pids against the stage's partition count to detect
+              // partial consumption, so every EXHAUSTED partition must
+              // report — a partition abandoned mid-iteration never gets
+              // here, which is exactly the signal
+              val shard: Array[Byte] = if (n == 0) null else {
                 val bos = new java.io.ByteArrayOutputStream()
                 bloom.writeTo(bos)
-                import scala.jdk.CollectionConverters._
-                val hot = hostCounts.asScala
-                  .filter { case (_, c) => c * 8 >= n && c >= 32 }.toArray
-                a.add((pid, n, bos.toByteArray, hot))
+                bos.toByteArray
               }
+              import scala.jdk.CollectionConverters._
+              val hot = hostCounts.asScala
+                .filter { case (_, c) => c * 8 >= n && c >= 32 }.toArray
+              a.add((pid, n, shard, hot))
             }
             h
           }
@@ -598,10 +615,45 @@ class CrawlEngine(
       }
     }
     def drainAdmitStats(
-        acc: org.apache.spark.util.CollectionAccumulator[AdmitStat]): Long = {
+        acc: org.apache.spark.util.CollectionAccumulator[AdmitStat],
+        admittedDs: Dataset[FrontierEntry], expectedUpper: Long): Long = {
       import scala.jdk.CollectionConverters._
       val seenPids = new java.util.HashSet[Int]()
-      val uniqParts = acc.value.asScala.filter(e => seenPids.add(e._1)).toVector
+      var uniqParts = acc.value.asScala.filter(e => seenPids.add(e._1)).toVector
+      if (uniqParts.size < admitStatsParts) {
+        // Fetcher contract violation (the fetch never fully executed the
+        // admitted scan — sampled, limited, or served from a detached
+        // plan): the ride-along stats are incomplete, and a missing bloom
+        // shard would silently re-admit already-seen URLs next epoch.
+        // Self-heal with a dedicated rebuild scan of the PERSISTED
+        // admitted set (one extra job, only on violating epochs) and use
+        // its shards/counts exclusively.
+        log.warn(s"epoch $epoch: admit stats incomplete " +
+          s"(${uniqParts.size}/$admitStatsParts partitions reported) — " +
+          "the Fetcher did not fully consume the admitted set; rebuilding " +
+          "bloom/count/salt stats with a dedicated scan")
+        val size = math.max(1024L, expectedUpper)
+        uniqParts = admittedDs.mapPartitions { it =>
+          val bloom = BloomFilter.create(size, 0.01)
+          val hostCounts = new java.util.HashMap[String, Long]()
+          var n = 0L
+          it.foreach { e =>
+            bloom.putBinary(org.apache.spark.unsafe.types.UTF8String
+              .fromString(e.url).toLowerCase.getBytes)
+            hostCounts.merge(e.host, 1L, (x, y) => x + y)
+            n += 1
+          }
+          if (n == 0) Iterator.empty
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            bloom.writeTo(bos)
+            val hot = hostCounts.asScala
+              .filter { case (_, c) => c * 8 >= n && c >= 32 }.toArray
+            Iterator.single((org.apache.spark.TaskContext.getPartitionId(),
+              n, bos.toByteArray, hot))
+          }
+        }(org.apache.spark.sql.Encoders.kryo[AdmitStat]).collect().toVector
+      }
       mergeBloomParts(uniqParts.iterator.map(_._3).filter(_ != null).toArray)
       val total = uniqParts.iterator.map(_._2).sum
       val pNow = P
@@ -1525,7 +1577,8 @@ class CrawlEngine(
           spark.read.schema(CrawlEngine.parsedSchema).parquet(parsedPath).as[ParsedPage])
         // the fetch job has materialized — collect the ride-along stats
         // (delta count, bloom shards, next epoch's hot-host salt widths)
-        val admittedCount = timed("admit_drain")(drainAdmitStats(admitAcc))
+        val admittedCount =
+          timed("admit_drain")(drainAdmitStats(admitAcc, admittedDs, candCount))
 
         // reactive throttling (B9): 429 Retry-After reduces the host's rate
         // (reference `DomainRateLimiter::throttle` rate_limiter.rs:121-137 —

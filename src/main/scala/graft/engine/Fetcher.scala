@@ -36,6 +36,16 @@ final case class FetchResult(
   * reference's `RemoteFetcher` seam (`spider/src/fetcher.rs:1-106`): swaps
   * the network round-trip while keeping ALL other crawl machinery (gate,
   * visited, budgets, robots, extraction, politeness).
+  *
+  * CONTRACT — full consumption: the returned Dataset must derive from
+  * `admitted` and the fetch must execute it completely (every partition,
+  * every row), because the engine's visited-set bloom shards and hot-host
+  * salt statistics ride the admitted scan inside the fetch job (zero
+  * dedicated jobs on the happy path). A fetcher that samples, limits, or
+  * serves from a detached plan is DETECTED (the drain compares reporting
+  * partitions against the stage's partition count) and the engine
+  * self-heals with a dedicated rebuild scan of the persisted admitted
+  * set — correct, but one extra job per violating epoch.
   */
 trait Fetcher extends Serializable {
   def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult]

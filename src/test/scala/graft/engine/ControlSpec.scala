@@ -360,6 +360,50 @@ class ControlSpec extends AnyFunSuite {
       s"seeded warm start fetched bodies: ${spyFetched.asScala.take(5).toSeq}")
   }
 
+  test("fetcher contract violation self-heals: detached-plan fetch triggers the admit-stats rebuild (B1 exactness)") {
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions.col
+    // the visited-set bloom shards ride the fetch job's scan of the
+    // admitted set; a fetcher that never executes that scan would drop
+    // them and already-seen URLs would pass the bloom as definitely-new,
+    // bypassing the exact probe (round-4 advice). The drain must detect
+    // the missing partitions and rebuild from the persisted admitted set.
+    val p = CorpusParams(hosts = 1, pagesPerHost = 200)
+    val gen = new GenerativeFetcher(p)
+    val cfg = CrawlConfig(maxEpochs = 30, smallEpochThreshold = 0)
+    val base = new CrawlEngine(spark, cfg, gen, new CorpusRobots(p),
+      expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("url", "epoch", "signature", "status").collect().map(_.toSeq).toSet
+    val baseKeys = key(base.pages)
+    // epoch-2 admissions, reconstructed driver-side: the violating fetcher
+    // serves exactly these from a DETACHED plan, so the admitted scan (and
+    // its ride-along stats) never executes that epoch
+    val epoch2 = base.pages.filter(col("epoch") === 2)
+      .select("url", "depth", "discovery_seq").collect()
+      .map { r =>
+        val u = r.getString(0)
+        graft.model.FrontierEntry(u, graft.url.UrlOps.host(u), r.getInt(1),
+          r.getLong(2), graft.url.UrlOps.scoreUrl(u, r.getInt(1)), 0, 0L)
+      }
+    assert(epoch2.nonEmpty, "test needs a non-trivial epoch 2")
+    val calls = new java.util.concurrent.atomic.AtomicInteger()
+    val violating = new Fetcher {
+      override def fetch(spark: SparkSession, admitted: org.apache.spark.sql.Dataset[graft.model.FrontierEntry]) = {
+        import spark.implicits._
+        if (calls.getAndIncrement() == 2)
+          gen.fetch(spark, spark.createDataset(epoch2.toIndexedSeq))
+        else gen.fetch(spark, admitted)
+      }
+    }
+    val res = new CrawlEngine(spark, cfg, violating, new CorpusRobots(p),
+      expectedUrls = 10000).crawl(Seq("https://www.site0.com/"))
+    val urls = res.pages.select("url").collect().map(_.getString(0))
+    assert(urls.length == urls.distinct.length,
+      "already-seen URLs were re-fetched (bloom shard lost, exact probe bypassed)")
+    assert(key(res.pages) == baseKeys, "violating-fetcher crawl diverged from baseline")
+  }
+
   test("blocked side outputs: robots-blocked and vetoed counts in EpochMetrics") {
     spark.sparkContext.setLogLevel("ERROR")
     // host1 robots disallows /legal/ -> blocked candidates counted; the veto

@@ -215,6 +215,46 @@ class CrawlDifferentialSpec extends AnyFunSuite {
       s"auto-throttle had no pacing effect: ${or.epochs} vs ${plain.epochs}")
   }
 
+  test("epoch-0 cross-host seed redirect re-anchors the scope on BOTH paths (C6, page.rs:4736-4747)") {
+    // www.site0.com/ 301s to www.site1.com/: the crawl scope must re-anchor
+    // to the redirect host and expand site1's tree. threshold=0 pins the
+    // distributed epoch-0 canonical-min winner orderBy (round-4 advice:
+    // previously unreachable by any differential).
+    val params = CorpusParams(hosts = 3, pagesPerHost = 40, seedRedirectToHost = 1)
+    for (threshold <- Seq(4096, 0)) {
+      val (er, or) = run(params,
+        CrawlConfig(maxEpochs = 30, smallEpochThreshold = threshold),
+        Seq("https://www.site0.com/"))
+      assertParity(er, or)
+      assert(or.pages.count(_.url.contains("www.site1.com")) > 10,
+        s"re-anchored host not crawled (threshold=$threshold): ${or.pages.size} pages")
+      assert(or.pages.exists(p => p.url.contains("www.site0.com") && p.finalUrl.contains("www.site1.com")),
+        s"seed redirect row missing (threshold=$threshold)")
+    }
+  }
+
+  test("distributed reactive throttle equals oracle: 429 Retry-After + latency EMA (smallEpochThreshold=0)") {
+    // round-4 advice: the distributed 429/EMA path had no threshold=0
+    // differential (small epochs always took the driver fast path)
+    val p429 = CorpusParams(hosts = 1, pagesPerHost = 10, rateLimitEvery = 4,
+      retryAfterMs = 2000L)
+    val cfg429 = CrawlConfig(delayMs = 100, tickMs = 1000, retryLimit = 1,
+      maxEpochs = 120, smallEpochThreshold = 0)
+    val (er1, or1) = run(p429, cfg429, Seq("https://www.site0.com/"))
+    assertParity(er1, or1)
+    assert(er1.epochs == or1.epochs,
+      s"429 pacing diverged distributed: engine ${er1.epochs} vs oracle ${or1.epochs}")
+    assert(or1.pages.exists(_.status == 429), "expected final 429 pages after retry cap")
+    val pEma = CorpusParams(hosts = 2, pagesPerHost = 10)
+    val cfgEma = CrawlConfig(delayMs = 1, tickMs = 1000, maxEpochs = 120,
+      autoThrottle = true, autoThrottleTargetConcurrency = 0.1,
+      autoThrottleMaxDelayMs = 1000L, smallEpochThreshold = 0)
+    val (er2, or2) = run(pEma, cfgEma, Seq("https://www.site0.com/"))
+    assertParity(er2, or2)
+    assert(er2.epochs == or2.epochs,
+      s"EMA pacing diverged distributed: engine ${er2.epochs} vs oracle ${or2.epochs}")
+  }
+
   test("robots Request-rate feeds the politeness quota (set_rate, rate_limiter.rs:142-153)") {
     val params = CorpusParams(hosts = 1, pagesPerHost = 10)
     // robots: Request-rate 1/2 (one request per 2s) and no Crawl-delay

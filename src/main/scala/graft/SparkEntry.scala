@@ -127,6 +127,24 @@ object SparkEntry {
     "('https://www.site0.com/en/items/p30.html',6,200)",
     "('https://www.site0.com/fr/items/deep/p31.html',6,200)")
 
+  /** crawl_blocked pins: the B11 blocked side TABLE (reference
+    * `on_robots_blocked` `website.rs:1980-1982`, `blocked_crawl`
+    * `page.rs:2446`) — robots-denied /legal/ candidates at their admission
+    * epoch, veto-suppressed /docs/ pages at their fetch epoch.
+    */
+  private[graft] val crawlBlockedRows: Seq[String] = Seq(
+    "('https://www.site1.com/legal/p4.html','robots',CAST(1 AS BIGINT))",
+    "('https://www.site1.com/docs/en/p2.html','veto',CAST(1 AS BIGINT))",
+    "('https://www.site1.com/legal/p16.html','robots',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/legal/p28.html','robots',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/products/docs/deep/p15.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/docs/p8.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/docs/docs/p14.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/docs/p32.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/docs/en/p38.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/docs/legal/p26.html','veto',CAST(2 AS BIGINT))",
+    "('https://www.site1.com/legal/products/p22.html','robots',CAST(3 AS BIGINT))")
+
   /** crawl_sitemap_only pins: the sitemap-ONLY walk (reference
     * `crawl_sitemap()`, `website.rs:6994-7028`) — every page comes from a
     * sitemap listing (depth 1 = /sitemap.xml entries incl. the seed root,
@@ -299,6 +317,7 @@ object SparkEntry {
     "crawl_throttle" -> (Queries.crawlThrottle _),
     "crawl_sitemap" -> (Queries.crawlSitemapQ _),
     "crawl_sitemap_only" -> (Queries.crawlSitemapOnlyQ _),
+    "crawl_blocked" -> (Queries.crawlBlocked _),
     // multimodal plumbing
     "m_media_meta" -> (Queries.mMediaMeta _)
   )
@@ -435,6 +454,9 @@ object SparkEntry {
         ") AS t(url, depth, status)"),
     "crawl_sitemap_only" ->
       ("SELECT * FROM (VALUES " + crawlSitemapOnlyRows.mkString(", ") +
-        ") AS t(url, depth, status)")
+        ") AS t(url, depth, status)"),
+    "crawl_blocked" ->
+      ("SELECT * FROM (VALUES " + crawlBlockedRows.mkString(", ") +
+        ") AS t(url, reason, epoch)")
   )
 }

@@ -26,7 +26,11 @@ object OracleCrawler {
       pages: Vector[OraclePage],
       seen: Set[String], // lowercased
       frontierRemainder: Vector[FrontierEntry],
-      epochs: Long)
+      epochs: Long,
+      // B11 side outputs mirror: (url, reason ∈ {robots, veto}, epoch) —
+      // robots-denied candidates at their admission epoch, veto-suppressed
+      // pages at their fetch epoch (engine `CrawlResult.blocked` contract)
+      blocked: Vector[(String, String, Long)] = Vector.empty)
 
   // canonical order (SURVEY D6) in UTF-8 byte order — shared with the
   // engine's small-epoch fast path (Sequential), matching the distributed
@@ -38,7 +42,8 @@ object OracleCrawler {
       retryPolicy: Option[graft.engine.RetryPolicy] = None,
       sitemapChain: Boolean = false,
       sitemapOnly: Boolean = false,
-      onLinkFind: Option[String => String] = None): OracleResult = {
+      onLinkFind: Option[String => String] = None,
+      onShouldCrawl: Option[graft.engine.ParsedPage => Boolean] = None): OracleResult = {
     val linkRewrite: String => String = onLinkFind.orNull
     val retry = retryPolicy.getOrElse(new graft.engine.DefaultRetryPolicy(config.retryLimit))
 
@@ -62,6 +67,7 @@ object OracleCrawler {
 
     val seen = scala.collection.mutable.Set.empty[String]
     val sigs = scala.collection.mutable.Set.empty[Long]
+    val blocked = Vector.newBuilder[(String, String, Long)]
     val hostTokens = scala.collection.mutable.Map.empty[String, Long]
     val pages = Vector.newBuilder[OraclePage]
     var seqCounter = 0L
@@ -148,8 +154,17 @@ object OracleCrawler {
         // 2. batch dedup, case-insensitive, keep canonical-min
         val deduped = unseen.groupBy(e => UrlOps.lowerUtf8(e.url))
           .values.map(_.min(canonical)).toVector
-        // 3. lists + robots + depth
-        val gated0 = deduped.filter(gateDefault).filter { e =>
+        // 3. lists + robots + depth (robots split out so denied candidates
+        // feed the blocked side output, engine mirror)
+        val listsPass = deduped.filter(e =>
+          (config.whitelist.isEmpty || listed(config.whitelist, e.url)) &&
+            (config.blacklist.isEmpty || !listed(config.blacklist, e.url)))
+        val (robotsPass, robotsBlockedV) =
+          if (!config.respectRobotsTxt) (listsPass, Vector.empty[FrontierEntry])
+          else listsPass.partition(e =>
+            robots.policyFor(e.host).canFetch(config.userAgent, e.url))
+        robotsBlockedV.foreach(e => blocked += ((e.url, "robots", epoch)))
+        val gated0 = robotsPass.filter { e =>
           config.depth <= 0 || UrlOps.pathDepth(e.url) <= depthDistance
         }
 
@@ -262,6 +277,16 @@ object OracleCrawler {
           CrawlEngine.accumulateDiscoveredSitemaps(discoveredSm,
             parsed.iterator.flatMap(_.sitemap_links).toSeq)
 
+        // 9c. B11 veto gates expansion of ordinary pages (chain-phase
+        // sitemap docs bypass it, engine mirror); suppressed pages feed
+        // the blocked side output at their fetch epoch
+        val afterVeto = onShouldCrawl match {
+          case Some(veto) =>
+            parsed.filterNot(veto).foreach(p => blocked += ((p.url, "veto", epoch)))
+            parsed.filter(veto)
+          case None => parsed
+        }
+
         // 10. signature dedup: canonical-first page per NEW signature expands
         val expanding =
           if (chainStarted) {
@@ -275,14 +300,14 @@ object OracleCrawler {
               .foreach(u => chainSm += UrlOps.lowerUtf8(u))
             out
           } else if (config.normalize) {
-            val ok = parsed.filter(p => p.status == 200 && p.signature != 0L)
+            val ok = afterVeto.filter(p => p.status == 200 && p.signature != 0L)
             val newSigPages = ok.filter(p => !sigs.contains(p.signature))
             val firstPerSig = newSigPages.groupBy(_.signature).values
               .map(_.minBy(p => (p.depth, p.discovery_seq, p.host, p.url))(graft.engine.Sequential.keyOrder))
               .toVector
             firstPerSig.foreach(p => sigs += p.signature)
-            firstPerSig ++ parsed.filter(p => p.status == 200 && p.signature == 0L)
-          } else parsed.filter(_.status == 200)
+            firstPerSig ++ afterVeto.filter(p => p.status == 200 && p.signature == 0L)
+          } else afterVeto.filter(_.status == 200)
 
         // 11. explode links, dedup by lower(url) keep min (p_depth,p_seq,pos,url),
         //     assign discovery_seq with the engine's exact gap semantics
@@ -330,6 +355,6 @@ object OracleCrawler {
       pages.result() // the sitemap XML itself is parsed, never emitted as a page
         .filterNot(p => chainSm.contains(UrlOps.lowerUtf8(p.url)))
         .sortBy(p => (p.depth, p.seq, p.host, p.url))(graft.engine.Sequential.keyOrder),
-      seen.toSet, frontier, epoch)
+      seen.toSet, frontier, epoch, blocked.result())
   }
 }

@@ -338,6 +338,31 @@ object Queries {
       .select(col("url"), col("depth"), col("status"), col("epoch"))
   }
 
+  /** crawl_blocked scenario — the B11 side-output TABLE under the driver
+    * oracle: site1's robots disallows /legal/ (robots rows) and the veto
+    * suppresses /docs/ pages (veto rows). No retryable statuses in the
+    * corpus, so fast/distributed/oracle attribute identical epochs. Shared
+    * by the query, `Drive oracledump`, and CrawlPinSpec.
+    */
+  object BlockedScenario {
+    import graft.corpus.CorpusParams
+    import graft.model.CrawlConfig
+    val params: CorpusParams = CorpusParams(hosts = 2, pagesPerHost = 40)
+    val config: CrawlConfig =
+      CrawlConfig(respectRobotsTxt = true, maxEpochs = 30, trackBlocked = true)
+    val seeds: Seq[String] = Seq("https://www.site1.com/")
+    val veto: graft.engine.ParsedPage => Boolean = p => !p.url.contains("/docs/")
+  }
+
+  def crawlBlocked(spark: SparkSession, dir: String): DataFrame = {
+    import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}
+    val s = BlockedScenario
+    val engine = new CrawlEngine(spark, s.config,
+      new GenerativeFetcher(s.params), new CorpusRobots(s.params), expectedUrls = 10000,
+      onShouldCrawl = Some(s.veto))
+    engine.crawl(s.seeds).blocked.select(col("url"), col("reason"), col("epoch"))
+  }
+
   def crawlBudget(spark: SparkSession, dir: String): DataFrame = {
     import graft.corpus.CorpusParams
     import graft.engine.{CorpusRobots, CrawlEngine, GenerativeFetcher}

@@ -55,6 +55,11 @@ object Drive {
         new CorpusRobots(ss.params), ss.seeds, sitemapOnly = true)
       println("SITEMAP_ONLY_ROWS " + smOnly.pages.map(p =>
         s"(${esc(p.url)},${p.depth},${p.status})").mkString("|"))
+      val bs = graft.queries.Queries.BlockedScenario
+      val blockedRes = OracleCrawler.crawl(bs.params, bs.config,
+        new CorpusRobots(bs.params), bs.seeds, onShouldCrawl = Some(bs.veto))
+      println("BLOCKED_ROWS " + blockedRes.blocked.map { case (u, r, e) =>
+        s"(${esc(u)},${esc(r)},CAST($e AS BIGINT))" }.mkString("|"))
       return
     }
     if (args.headOption.contains("throttledrive")) {

@@ -57,6 +57,18 @@ class CrawlPinSpec extends AnyFunSuite {
     assert(live.exists(_.contains("p22.html")), "nested-sitemap orphan missing")
   }
 
+  test("crawl_blocked pins match a live OracleCrawler run (B11 side table)") {
+    val s = graft.queries.Queries.BlockedScenario
+    val res = OracleCrawler.crawl(s.params, s.config, new CorpusRobots(s.params),
+      s.seeds, onShouldCrawl = Some(s.veto))
+    val live = res.blocked.map { case (u, r, e) =>
+      s"(${esc(u)},${esc(r)},CAST($e AS BIGINT))" }
+    assert(live == SparkEntry.crawlBlockedRows,
+      "regenerate with: runMain graft.tools.Drive oracledump")
+    assert(res.blocked.exists(_._2 == "robots") && res.blocked.exists(_._2 == "veto"),
+      "scenario must produce both blocked reasons")
+  }
+
   test("crawl_sitemap_only pins match a live OracleCrawler run (crawl_sitemap() mode)") {
     val s = graft.queries.Queries.SitemapScenario
     val res = OracleCrawler.crawl(s.params, s.config, new CorpusRobots(s.params),

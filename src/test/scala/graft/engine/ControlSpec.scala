@@ -439,6 +439,14 @@ class ControlSpec extends AnyFunSuite {
         assert(m.vetoed == tableByEpoch.getOrElse((m.epoch, "veto"), 0L),
           s"epoch ${m.epoch} veto count != table (threshold=$threshold)")
       }
+      // differential: the oracle's blocked mirror produces the same rows
+      val oracle = graft.oracle.OracleCrawler.crawl(params, cfg,
+        new CorpusRobots(params), Seq("https://www.site1.com/"),
+        onShouldCrawl = Some(p => !p.url.contains("/docs/")))
+      assert(rows.toSet == oracle.blocked.toSet,
+        s"blocked table != oracle (threshold=$threshold): " +
+          s"onlyE=${(rows.toSet -- oracle.blocked.toSet).take(3)} " +
+          s"onlyO=${(oracle.blocked.toSet -- rows.toSet).take(3)}")
     }
     // trackBlocked=false: empty table, zero extra jobs
     val off = new CrawlEngine(spark,

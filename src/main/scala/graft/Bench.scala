@@ -136,9 +136,59 @@ object Bench {
       val rNb = run(n)
       r4N / (4 * math.max(rN, rNb))
     }
+    /** One quick workload-shaped throughput sample (pages/s of the crawl's
+      * own generate+parse on raw threads) — the per-LEG window probe. ~60k
+      * pages keeps it to a few seconds, so it can bracket every crawl leg.
+      */
+    def sample(threads: Int, pages: Long): Double = {
+      warmed
+      val per = pages / threads
+      val ts = (0 until threads).map { t =>
+        new Thread(() => {
+          var i = 0L
+          var acc = 0L
+          while (i < per) {
+            val p = (t * per + i) % (16L * 60000L)
+            val host = (p % 16).toInt
+            val url = graft.corpus.CorpusGen.pageUrl(params, host, sub = false, p / 16)
+            val doc = graft.corpus.CorpusGen.docFor(params, url)
+            if (doc != null) {
+              val f = FetchResult(url, s"www.site$host.com", 1, i, 0, 0, doc.status, url, doc.spans)
+              acc += graft.engine.CrawlEngine.parsePage(f, scope, 1L).links.length
+            }
+            i += 1
+          }
+          if (acc == -1) println("")
+        })
+      }
+      val t0 = System.nanoTime()
+      ts.foreach(_.start()); ts.foreach(_.join())
+      pages / ((System.nanoTime() - t0) / 1e9)
+    }
   }
 
   private def workloadControlEfficiency(n: Int): Double = WorkloadControl.efficiency(n)
+
+  /** Per-leg window probe: workload-shaped throughput at N and 4N threads
+    * (~5 s total). `thrN`/`thr4N` fall under CPU steal or a saturated
+    * memory bus — the two contention modes this host exhibits — so a probe
+    * taken immediately before and after a crawl leg certifies that leg's
+    * noise window. `pe` is the same ratio the full workload control
+    * measures (memory-envelope scaling efficiency).
+    */
+  final case class Probe(thrN: Double, thr4N: Double) {
+    def pe: Double = thr4N / (4 * thrN)
+  }
+
+  private def probe(n: Int): Probe = {
+    // ~5 s per sample: generate+parse measures ~90k pages/s at 4 threads
+    // and ~200k/s at 16 on this host, and sub-second samples made pe swing
+    // 0.55-1.03 (thread start/stop + scheduler noise); at these sizes the
+    // probe is a stable ~10 s estimate of the memory envelope
+    val t4N = WorkloadControl.sample(n * 4, 1024000L)
+    val tN = WorkloadControl.sample(n, 448000L)
+    Probe(tN, t4N)
+  }
 
   private def benchParams(pph: Int): CorpusParams =
     CorpusParams(hosts = 16, pagesPerHost = pph, fanout = 48, textWords = 150)
@@ -260,13 +310,12 @@ object Bench {
     // shows minutes-long contention episodes with multi-x slowdowns;
     // SHORTER runs x more trials land a clean window more often than one
     // long run, and "sustained" already excludes the ramp epochs.
-    // 24000 (was 40000): shorter legs fit more window-coherent trials into
-    // the adaptive budget — the host's contention episodes are minutes-long,
-    // so the probability that ALL legs of one trial share a clean window
-    // rises steeply as the trial shrinks; epochs stay big enough (fanout 48
-    // ⇒ the steady-state epoch still carries hundreds of thousands of
-    // pages) that parallel work dominates per-epoch fixed cost
-    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "24000").toInt
+    // 40000: a controlled same-window experiment (r5) showed pph=24000
+    // structurally caps 4N sustained throughput at ~38k (per-epoch fixed
+    // costs dominate the shorter steady state) vs ~50-55k at 40000 — the
+    // smaller corpus LOWERS true efficiency, it doesn't just shorten legs.
+    // Clean-window landing is handled by per-leg probes, not leg size.
+    val pph = sys.env.getOrElse("SPARK_GRAFT_BENCH_PAGES", "40000").toInt
 
     // child mode: run one isolated crawl and exit
     sys.env.get("SPARK_GRAFT_BENCH_CHILD") match {
@@ -299,25 +348,20 @@ object Bench {
     // --- part 2: crawl throughput at N and 4N cores, same input ---
     var crawlJson = "{}"
     if (!skipCrawl) {
-      // SAME-WINDOW TRIAL PAIRS (round-4 verdict #1): the host shows
-      // minutes-long hypervisor-contention episodes with 3-8x slowdowns,
-      // so independently best-of-ing N, 4N, skew and the controls lets
-      // each land in a DIFFERENT noise window — exactly what made the r4
+      // SAME-WINDOW TRIALS (round-4 verdict #1): the host shows
+      // hypervisor-contention episodes with 3-8x slowdowns, so
+      // independently best-of-ing N, 4N, skew and the controls lets each
+      // land in a DIFFERENT noise window — exactly what made the r4
       // recorded artifact (0.251/0.632) disagree with its clean-window
-      // evidence (0.389/0.911). Every trial is now one window-coherent
-      // sequence — workload control, N crawl, 4N crawl, skew crawl —
-      // with controls bracketing the trials (trial t is judged against
-      // max(control before, control after)). ALL trials land in the JSON;
-      // the selected pair is the trial where BOTH sides were
-      // simultaneously near their best (max over t of min(susN_t/max_u
-      // susN_u, sus4N_t/max_u sus4N_u)) — NOT the max-efficiency trial,
-      // which a contention episode during the N run can inflate (r4's
-      // N-control once measured a physically impossible 2.03).
+      // evidence (0.389/0.911). Every trial is one sequence — N crawl,
+      // 4N crawl, skew crawl — with ~5s workload-shaped probes BETWEEN
+      // every leg (see Probe): episodes proved SHORTER than a trial, so
+      // only leg-adjacent probes can certify a leg's window.
       //
-      // Controls, both same-window as the crawls:
+      // Controls, same-window as the crawls:
       //  - register-only mix loop (ALU envelope — what the hypervisor
       //    caps), once per bench, informational
-      //  - workload control: the crawl's own generate+parse on raw
+      //  - workload probes: the crawl's own generate+parse on raw
       //    threads (memory envelope — allocation-heavy work shares one
       //    memory bus; it scales FAR below the ALU envelope, and no code
       //    that touches memory can scale past it at these thread counts)
@@ -327,9 +371,24 @@ object Bench {
       // criterion describes.
       val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
       val cpuCtl = cpuControlEfficiency(benchN)
-      final case class Trial(wctlBefore: Double, wctlAfter: Double,
-          rN: ChildResult, r4N: ChildResult, rSkew: ChildResult) {
-        def wctl: Double = math.max(wctlBefore, wctlAfter)
+      // PER-LEG window probes (round-5 protocol v2): the r5 rehearsal showed
+      // contention episodes SHORTER than a trial — trial-level workload
+      // controls before/after all read normal (0.37-0.53) while individual
+      // 4N legs between them lost 3-8x. And the relative-to-max "clean pair"
+      // selector fails closed: when EVERY 4N leg of the session is
+      // contaminated, the least-bad one scores 1.0 by construction. So each
+      // trial is now probed BETWEEN every leg — probe, N, probe, 4N, probe,
+      // skew, probe — and a leg's window health is certified by its two
+      // adjacent probes (workload-shaped throughput relative to the session
+      // best at that thread count), an absolute signal independent of the
+      // crawl measurements it certifies.
+      final case class Leg(before: Probe, res: ChildResult, after: Probe)
+      final case class Trial(legN: Leg, leg4N: Leg, legSkew: Leg, waitProbes: Int) {
+        def probes: Seq[Probe] = Seq(legN.before, legN.after,
+          leg4N.before, leg4N.after, legSkew.before, legSkew.after).distinct
+        def rN: ChildResult = legN.res
+        def r4N: ChildResult = leg4N.res
+        def rSkew: ChildResult = legSkew.res
         def susN: Double = rN.sustainedPages / math.max(rN.sustainedSecs, 0.001)
         def sus4N: Double = r4N.sustainedPages / math.max(r4N.sustainedSecs, 0.001)
         def thrN: Double = rN.pages / math.max(rN.secs, 0.001)
@@ -339,48 +398,84 @@ object Bench {
         def effSus: Double = sus4N / (4.0 * susN)
         def effTotal: Double = thr4N / (4.0 * thrN)
         def skewRatio: Double = thrSkew / math.max(thr4N, 0.001)
+        // same-window workload control for normalization: mean probe pe
+        // around the N and 4N legs
+        def wctl: Double = Seq(legN.before, legN.after, leg4N.before, leg4N.after)
+          .distinct.map(_.pe).sum / Seq(legN.before, legN.after, leg4N.before, leg4N.after).distinct.size
       }
-      var ctl = workloadControlEfficiency(benchN)
-      // ADAPTIVE trial count: a contention episode during ANY leg ruins
-      // that trial's pair, and with a fixed count every trial can lose a
-      // different leg (r5 rehearsal: 3 trials, all three skew-or-4N
-      // contaminated). Keep running window-coherent trials until some
-      // trial has BOTH pairs clean (scores >= cleanBar, i.e. both legs
-      // simultaneously within 10% of their cross-trial best) or the
-      // wall-clock budget runs out. Every trial is recorded in the JSON
-      // either way — the stop rule changes how long we look, never what
-      // is reported.
+      // ADAPTIVE trial count: keep running window-coherent trials until
+      // some trial's eff legs (N, 4N) AND some trial's skew legs (4N, skew)
+      // are probe-certified clean, or the wall-clock budget runs out. Every
+      // trial is recorded in the JSON either way — the stop rule changes
+      // how long we look, never what is reported.
       val maxTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_TRIALS", "12").toInt
       val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1150").toInt
       val cleanBar = 0.9
       val tStart = System.nanoTime()
+      def budgetLeft: Boolean = (System.nanoTime() - tStart) / 1e9 <= budgetS
       var ts = Vector.empty[Trial]
-      def runTrial(): Unit = {
-        val before = ctl
-        val tN = childRun(benchN.toString, pph)
-        val t4N = childRun((benchN * 4).toString, pph)
-        val tSkew = childRun("skew", pph)
-        ctl = workloadControlEfficiency(benchN)
-        ts :+= Trial(before, ctl, tN, t4N, tSkew)
+      // ALL probes taken this session (leg brackets AND wait probes) feed
+      // the session-best reference, so the health scale converges on the
+      // true clean envelope as fast as any probe touches it
+      var allProbes = Vector.empty[Probe]
+      def takeProbe(): Probe = {
+        val p = probe(benchN); allProbes :+= p; p
       }
-      def maxSusN = ts.map(_.susN).max
-      def maxSus4N = ts.map(_.sus4N).max
-      def maxThr4N = ts.map(_.thr4N).max
-      def maxThrSkew = ts.map(_.thrSkew).max
-      def cleanEff(t: Trial): Double = math.min(t.susN / maxSusN, t.sus4N / maxSus4N)
-      def cleanSkew(t: Trial): Double = math.min(t.thr4N / maxThr4N, t.thrSkew / maxThrSkew)
+      // window health of a probe: its workload throughput relative to the
+      // session's best at the same thread count (CPU steal and memory-bus
+      // saturation both depress it; min over both counts is conservative)
+      def health(p: Probe): Double = math.min(
+        p.thrN / allProbes.map(_.thrN).max,
+        p.thr4N / allProbes.map(_.thr4N).max)
+      // PRE-LEG GATE: a contended crawl leg costs minutes (a rehearsal 4N
+      // leg took 217 s vs 40 s clean) while a probe costs seconds — so
+      // don't START a leg while the window is visibly contended; wait and
+      // re-probe instead. Health is relative to the session-best probe, so
+      // an all-contended session gates nothing (first probes score ~1.0)
+      // and the budget still bounds total waiting. Every wait probe is
+      // counted in the trial's JSON row.
+      val gateBar = 0.85
+      var waitCount = 0
+      def gated(last: Probe, maxWaits: Int = 8): Probe = {
+        var p = last
+        var w = 0
+        while (health(p) < gateBar && w < maxWaits && budgetLeft) {
+          Thread.sleep(15000); p = takeProbe(); w += 1; waitCount += 1
+        }
+        p
+      }
+      def runTrial(last: Probe): Probe = {
+        waitCount = 0
+        val p0 = gated(last)
+        val tN = childRun(benchN.toString, pph)
+        val p1 = takeProbe()
+        val p1b = gated(p1)
+        val t4N = childRun((benchN * 4).toString, pph)
+        val p2 = takeProbe()
+        val p2b = gated(p2)
+        val tSkew = childRun("skew", pph)
+        val p3 = takeProbe()
+        ts :+= Trial(Leg(p0, tN, p1), Leg(p1b, t4N, p2), Leg(p2b, tSkew, p3), waitCount)
+        p3
+      }
+      // a leg is clean iff both adjacent probes are; the eff selection
+      // needs the N and 4N legs, the skew selection the 4N and skew legs
+      def legHealth(l: Leg): Double = math.min(health(l.before), health(l.after))
+      def effHealth(t: Trial): Double = math.min(legHealth(t.legN), legHealth(t.leg4N))
+      def skewHealth(t: Trial): Double = math.min(legHealth(t.leg4N), legHealth(t.legSkew))
       var stopReason = "max_trials"
+      var last = takeProbe() // warm + first window sample
       while (ts.size < maxTrials && {
         if (ts.size < trials) true
-        else if (ts.exists(t => cleanEff(t) >= cleanBar) &&
-            ts.exists(t => cleanSkew(t) >= cleanBar)) { stopReason = "clean_pair_found"; false }
-        else if ((System.nanoTime() - tStart) / 1e9 > budgetS) { stopReason = "budget"; false }
+        else if (ts.exists(t => effHealth(t) >= cleanBar) &&
+            ts.exists(t => skewHealth(t) >= cleanBar)) { stopReason = "clean_windows_found"; false }
+        else if (!budgetLeft) { stopReason = "budget"; false }
         else true
-      }) runTrial()
-      if (stopReason == "max_trials" && ts.exists(t => cleanEff(t) >= cleanBar) &&
-          ts.exists(t => cleanSkew(t) >= cleanBar)) stopReason = "clean_pair_found"
-      val selEff = ts.indices.maxBy(i => cleanEff(ts(i)))
-      val selSkew = ts.indices.maxBy(i => cleanSkew(ts(i)))
+      }) last = runTrial(last)
+      if (stopReason == "max_trials" && ts.exists(t => effHealth(t) >= cleanBar) &&
+          ts.exists(t => skewHealth(t) >= cleanBar)) stopReason = "clean_windows_found"
+      val selEff = ts.indices.maxBy(i => effHealth(ts(i)))
+      val selSkew = ts.indices.maxBy(i => skewHealth(ts(i)))
       val sel = ts(selEff)
       val rN = sel.rN; val r4N = sel.r4N; val rSkew = ts(selSkew).rSkew
       val wCtl = sel.wctl
@@ -393,11 +488,14 @@ object Bench {
       val skewRatio = ts(selSkew).skewRatio
       val n4 = benchN * 4
       val trialsJson = ts.zipWithIndex.map { case (t, i) =>
-        f"""{"trial":$i,"wctl_before":${t.wctlBefore}%.3f,"wctl_after":${t.wctlAfter}%.3f,""" +
+        val probesJson = t.probes.map(p =>
+          f"""{"wl_thr_n":${p.thrN}%.0f,"wl_thr_4n":${p.thr4N}%.0f,"pe":${p.pe}%.3f,"health":${health(p)}%.3f}""")
+          .mkString("[", ",", "]")
+        f"""{"trial":$i,"probes":$probesJson,"wait_probes":${t.waitProbes},"wctl":${t.wctl}%.3f,""" +
         f""""sustained_n":${t.susN}%.1f,"sustained_4n":${t.sus4N}%.1f,"total_n":${t.thrN}%.1f,"total_4n":${t.thr4N}%.1f,""" +
         f""""skew_total":${t.thrSkew}%.1f,"skew_sustained":${t.susSkew}%.1f,""" +
         f""""sustained_efficiency":${t.effSus}%.3f,"normalized_vs_workload":${t.effSus / math.max(t.wctl, 0.001)}%.3f,""" +
-        f""""skew_total_ratio":${t.skewRatio}%.3f,"clean_eff_score":${cleanEff(t)}%.3f,"clean_skew_score":${cleanSkew(t)}%.3f}"""
+        f""""skew_total_ratio":${t.skewRatio}%.3f,"eff_window_health":${effHealth(t)}%.3f,"skew_window_health":${skewHealth(t)}%.3f}"""
       }.mkString("[", ",", "]")
       val phaseKeys = (rN.phases.keySet ++ r4N.phases.keySet).toSeq
         .sortBy(k => -rN.phases.getOrElse(k, 0.0))
@@ -419,14 +517,14 @@ object Bench {
         f""""pages":${rN.pages},"secs_n":${rN.secs}%.1f,"secs_4n":${r4N.secs}%.1f,""" +
         f""""skew_urls_per_sec_4n":$thrSkew%.1f,"skew_sustained_4n":$susSkew%.1f,"skew_pages":${rSkew.pages},""" +
         f""""skew_total_ratio":$skewRatio%.3f,""" +
-        s""""selection":"headline numbers come from the same-window trial PAIR maximizing min(susN/max susN, sus4N/max sus4N) [skew: min over the (4N,skew) pair, same trial] - contention during the N run inflates efficiency, so max-both-sides is the anti-inflation selector; trials run adaptively until some trial has both pairs clean (>=0.9) or the budget ends; all trials recorded","selected_trial_eff":$selEff,"selected_trial_skew":$selSkew,"trials_run":${ts.size},"stop_reason":"$stopReason",""" +
-        f""""selected_clean_eff":${cleanEff(sel)}%.3f,"selected_clean_skew":${cleanSkew(ts(selSkew))}%.3f,"trials":$trialsJson,""" +
+        s""""selection":"every crawl leg is bracketed by ~5s workload-shaped probes (generate+parse on raw threads at N and 4N); a leg's window health = min over its two adjacent probes of (probe throughput / session-best probe throughput) at each thread count; headline eff comes from the trial whose N and 4N legs have the best certified health, skew from the trial whose 4N and skew legs do; trials run adaptively until both selections are probe-certified clean (>=0.9) or the budget ends; all trials and probes recorded","selected_trial_eff":$selEff,"selected_trial_skew":$selSkew,"trials_run":${ts.size},"stop_reason":"$stopReason",""" +
+        f""""selected_eff_window_health":${effHealth(sel)}%.3f,"selected_skew_window_health":${skewHealth(ts(selSkew))}%.3f,"trials":$trialsJson,""" +
         f""""phases_n_4n":$phaseJson}"""
       val trialTable = ts.zipWithIndex.map { case (t, i) =>
         val mk = (b: Boolean) => if (b) " **<-**" else ""
-        f"| $i | ${t.wctlBefore}%.3f / ${t.wctlAfter}%.3f | ${t.susN}%.0f | ${t.sus4N}%.0f | " +
+        f"| $i | ${t.probes.map(p => f"${health(p)}%.2f").mkString(" ")} | ${t.wctl}%.3f | ${t.susN}%.0f | ${t.sus4N}%.0f | " +
           f"${t.effSus}%.3f | ${t.effSus / math.max(t.wctl, 0.001)}%.3f | ${t.thrSkew}%.0f | ${t.skewRatio}%.3f | " +
-          f"${cleanEff(t)}%.3f${mk(i == selEff)} | ${cleanSkew(t)}%.3f${mk(i == selSkew)} |"
+          f"${effHealth(t)}%.3f${mk(i == selEff)} | ${skewHealth(t)}%.3f${mk(i == selSkew)} |"
       }.mkString("\n")
       val md =
         f"""# BENCH — crawl engine scaling evidence
@@ -437,23 +535,34 @@ object Bench {
            |local[$n4]) on IDENTICAL input, each run in its own child JVM with
            |-XX:ActiveProcessorCount pinned and tmpfs spark.local.dir.
            |
-           |## Same-window trial pairs (the protocol, round-5)
+           |## Probe-certified same-window trials (the protocol, round-5 v2)
            |
-           |Each trial is one window-coherent sequence — workload control,
-           |N crawl, 4N crawl, skew crawl — bracketed by the next control;
-           |the headline row is the PAIR maximizing min(susN/max susN,
-           |sus4N/max sus4N) (and for skew, the analogous (4N, skew)-pair
-           |score), because a contention episode during the N run inflates
-           |efficiency while deflating the clean-score. Trials run
-           |ADAPTIVELY: after the minimum count, more window-coherent
-           |trials are added until some trial has both pairs clean
-           |(clean scores >= 0.9) or the wall-clock budget ends — the stop
-           |rule changes how long we look, never what is reported. All
-           |pairs are in `BENCH_r*.json` under `crawl.trials`
-           |(`stop_reason` records why sampling stopped).
+           |The host's contention episodes are SHORTER than a trial:
+           |trial-level controls before/after can both read normal while a
+           |leg between them loses 3-8x (observed in the r5 rehearsal), and
+           |a relative-to-max "clean pair" selector fails closed when every
+           |leg of one kind is contaminated. So every crawl leg is now
+           |bracketed by ~10 s workload-shaped probes (the crawl's own
+           |generate+parse on raw threads at N and 4N threads): probe,
+           |N crawl, probe, 4N crawl, probe, skew crawl, probe. A leg's
+           |window health = min over its two adjacent probes of (probe
+           |throughput / session-best probe throughput) at each thread
+           |count — an absolute contention signal independent of the crawl
+           |numbers it certifies. Because a contended leg costs minutes and
+           |a probe costs seconds, a leg is GATED: while the pre-leg probe
+           |health is < 0.85 the bench waits 10 s and re-probes (bounded per
+           |leg and by the budget; wait probes are counted per trial and
+           |feed the session-best reference). Headline eff comes from the
+           |trial whose N+4N legs have the best certified health; skew from
+           |the trial whose 4N+skew legs do. Trials run ADAPTIVELY until
+           |both selections are probe-certified (health >= 0.9) or the
+           |budget ends — gating and the stop rule change how long we look,
+           |never what is reported. All trials and probes are in
+           |`BENCH_r*.json` under `crawl.trials` (`stop_reason` records why
+           |sampling stopped).
            |
-           || trial | wctl before/after | sus N | sus 4N | eff | eff/wctl | skew URLs/s | skew ratio | clean-eff | clean-skew |
-           ||---|---|---|---|---|---|---|---|---|---|
+           || trial | leg-bracket probe healths | wctl | sus N | sus 4N | eff | eff/wctl | skew URLs/s | skew ratio | eff-health | skew-health |
+           ||---|---|---|---|---|---|---|---|---|---|---|
            |@TRIAL_TABLE@
            |
            |**Host envelope (two same-window controls).** The guest advertises
@@ -462,7 +571,8 @@ object Bench {
            |(`cpu_control_efficiency` = $cpuCtl%.3f this window). Control 2 —
            |the crawl's OWN generate+parse per-page compute on raw threads,
            |zero Spark — measures the MEMORY envelope
-           |(`workload_control_efficiency` = $wCtl%.3f): allocation-heavy
+           |(`workload_control_efficiency` = $wCtl%.3f, the mean probe pe
+           |around the selected trial's N and 4N legs): allocation-heavy
            |work shares one memory bus, and on this host it scales far below
            |the ALU envelope. No code that touches memory can scale past
            |control 2 at these thread counts; process-CPU accounting below

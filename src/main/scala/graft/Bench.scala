@@ -369,7 +369,10 @@ object Bench {
       // beyond the host's memory system; a real cluster adds a memory bus
       // (and NUMA domains) per node, which is the regime the ≥0.8
       // criterion describes.
-      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "3").toInt
+      // minimum FULL trials (all three legs) before the adaptive rules may
+      // drop legs or stop: two seed the session-relative references while
+      // leaving budget for partial trials to re-sample uncertified pairs
+      val trials = sys.env.getOrElse("SPARK_GRAFT_BENCH_TRIALS", "2").toInt
       val cpuCtl = cpuControlEfficiency(benchN)
       // PER-LEG window probes (round-5 protocol v2): the r5 rehearsal showed
       // contention episodes SHORTER than a trial — trial-level workload
@@ -391,25 +394,32 @@ object Bench {
         def cpuPerPage: Double =
           if (res.pages <= 0) Double.MaxValue else res.cpuS / res.pages
       }
-      final case class Trial(legN: Leg, leg4N: Leg, legSkew: Leg, waitProbes: Int) {
-        def probes: Seq[Probe] = Seq(legN.before, legN.after,
-          leg4N.before, leg4N.after, legSkew.before, legSkew.after).distinct
-        def rN: ChildResult = legN.res
+      // legN/legSkew are optional: PARTIAL trials (v3) re-run only the
+      // legs of a still-uncertified pair once the other pair is clean —
+      // the 4N leg always runs because both pairs share it
+      final case class Trial(legN: Option[Leg], leg4N: Leg, legSkew: Option[Leg], waitProbes: Int) {
+        def legs: Seq[Leg] = legN.toSeq ++ Seq(leg4N) ++ legSkew.toSeq
+        def probes: Seq[Probe] = legs.flatMap(l => Seq(l.before, l.after)).distinct
+        def rN: ChildResult = legN.get.res
         def r4N: ChildResult = leg4N.res
-        def rSkew: ChildResult = legSkew.res
-        def susN: Double = rN.sustainedPages / math.max(rN.sustainedSecs, 0.001)
+        def rSkew: ChildResult = legSkew.get.res
+        def susN: Double = legN.map(l =>
+          l.res.sustainedPages / math.max(l.res.sustainedSecs, 0.001)).getOrElse(0.0)
         def sus4N: Double = r4N.sustainedPages / math.max(r4N.sustainedSecs, 0.001)
-        def thrN: Double = rN.pages / math.max(rN.secs, 0.001)
+        def thrN: Double = legN.map(l => l.res.pages / math.max(l.res.secs, 0.001)).getOrElse(0.0)
         def thr4N: Double = r4N.pages / math.max(r4N.secs, 0.001)
-        def thrSkew: Double = rSkew.pages / math.max(rSkew.secs, 0.001)
-        def susSkew: Double = rSkew.sustainedPages / math.max(rSkew.sustainedSecs, 0.001)
-        def effSus: Double = sus4N / (4.0 * susN)
-        def effTotal: Double = thr4N / (4.0 * thrN)
-        def skewRatio: Double = thrSkew / math.max(thr4N, 0.001)
+        def thrSkew: Double = legSkew.map(l => l.res.pages / math.max(l.res.secs, 0.001)).getOrElse(0.0)
+        def susSkew: Double = legSkew.map(l =>
+          l.res.sustainedPages / math.max(l.res.sustainedSecs, 0.001)).getOrElse(0.0)
+        def effSus: Double = if (legN.isEmpty) 0.0 else sus4N / (4.0 * susN)
+        def effTotal: Double = if (legN.isEmpty) 0.0 else thr4N / (4.0 * thrN)
+        def skewRatio: Double = if (legSkew.isEmpty) 0.0 else thrSkew / math.max(thr4N, 0.001)
         // same-window workload control for normalization: mean probe pe
-        // around the N and 4N legs
-        def wctl: Double = Seq(legN.before, legN.after, leg4N.before, leg4N.after)
-          .distinct.map(_.pe).sum / Seq(legN.before, legN.after, leg4N.before, leg4N.after).distinct.size
+        // around the (present) N and 4N legs
+        def wctl: Double = {
+          val ps = (legN.toSeq :+ leg4N).flatMap(l => Seq(l.before, l.after)).distinct
+          ps.map(_.pe).sum / ps.size
+        }
       }
       // ADAPTIVE trial count: keep running window-coherent trials until
       // some trial's eff legs (N, 4N) AND some trial's skew legs (4N, skew)
@@ -418,7 +428,9 @@ object Bench {
       // how long we look, never what is reported.
       val maxTrials = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_TRIALS", "12").toInt
       val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1150").toInt
-      val cleanBar = 0.9
+      // certification bar; env override exists ONLY so protocol tests can
+      // force the certified/partial-trial branches — recorded runs use 0.9
+      val cleanBar = sys.env.getOrElse("SPARK_GRAFT_BENCH_CLEAN_BAR", "0.9").toDouble
       val tStart = System.nanoTime()
       def budgetLeft: Boolean = (System.nanoTime() - tStart) / 1e9 <= budgetS
       var ts = Vector.empty[Trial]
@@ -431,8 +443,25 @@ object Bench {
       }
       // window health of a probe: its workload throughput relative to the
       // session's best at the same thread count (CPU steal and memory-bus
-      // saturation both depress it; min over both counts is conservative)
+      // saturation both depress it; min over both counts is conservative).
+      // ABSOLUTE ANCHOR (v3): session-relative health alone fails open in
+      // an all-storm session — equally contended probes score ~1.0, so a
+      // contended trial could be falsely CERTIFIED and stop the adaptive
+      // loop early with storm numbers recorded as clean. The reference is
+      // therefore max(session best, measured clean-window floor) per
+      // thread count (floors are this host's clean probe throughputs,
+      // env-overridable; a faster host's session best simply takes over).
+      // Every trial divides by the same constant, so selection ORDERING
+      // is unchanged — the floor only makes certification and the
+      // reported health values honest. The pre-leg GATE below stays
+      // session-relative, so a permanently slower host degrades to
+      // "no gating benefit", never to infinite waits.
+      val probeRefN = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_N", "225000").toDouble
+      val probeRef4N = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_4N", "610000").toDouble
       def health(p: Probe): Double = math.min(
+        p.thrN / math.max(allProbes.map(_.thrN).max, probeRefN),
+        p.thr4N / math.max(allProbes.map(_.thr4N).max, probeRef4N))
+      def gateHealth(p: Probe): Double = math.min(
         p.thrN / allProbes.map(_.thrN).max,
         p.thr4N / allProbes.map(_.thr4N).max)
       // PRE-LEG GATE: a contended crawl leg costs minutes (a rehearsal 4N
@@ -447,25 +476,32 @@ object Bench {
       def gated(last: Probe, maxWaits: Int = 8): Probe = {
         var p = last
         var w = 0
-        while (health(p) < gateBar && w < maxWaits && budgetLeft) {
+        while (gateHealth(p) < gateBar && w < maxWaits && budgetLeft) {
           Thread.sleep(15000); p = takeProbe(); w += 1; waitCount += 1
         }
         p
       }
-      def runTrial(last: Probe): Probe = {
+      def runTrial(last: Probe, wantN: Boolean, wantSkew: Boolean): Probe = {
         waitCount = 0
-        val p0 = gated(last)
-        val tN = childRun(benchN.toString, pph)
-        val p1 = takeProbe()
-        val p1b = gated(p1)
-        val t4N = childRun((benchN * 4).toString, pph)
-        val p2 = takeProbe()
-        val p2b = gated(p2)
-        val tSkew = childRun("skew", pph)
-        val p3 = takeProbe()
-        ts :+= Trial(Leg("n", p0, tN, p1), Leg("4n", p1b, t4N, p2),
-          Leg("skew", p2b, tSkew, p3), waitCount)
-        p3
+        var p = last
+        val legN = if (wantN) {
+          val b = gated(p)
+          val r = childRun(benchN.toString, pph)
+          p = takeProbe()
+          Some(Leg("n", b, r, p))
+        } else None
+        val b4 = gated(p)
+        val r4 = childRun((benchN * 4).toString, pph)
+        p = takeProbe()
+        val leg4N = Leg("4n", b4, r4, p)
+        val legSkew = if (wantSkew) {
+          val b = gated(p)
+          val r = childRun("skew", pph)
+          p = takeProbe()
+          Some(Leg("skew", b, r, p))
+        } else None
+        ts :+= Trial(legN, leg4N, legSkew, waitCount)
+        p
       }
       // a leg is clean iff (a) both adjacent probes are AND (b) its own
       // process-CPU cost per page is near the session's best for that
@@ -474,10 +510,18 @@ object Bench {
       // brackets (a rehearsal leg ran 3x slow with brackets at 0.92/0.87).
       // Selecting by a COST metric cannot inflate the throughput being
       // reported — the least-stalled run is the honest one.
-      def bestCpuPage(mode: String): Double =
-        ts.flatMap(t => Seq(t.legN, t.leg4N, t.legSkew))
+      // same absolute-anchor rule as probe health: the reference cost is
+      // min(session best, measured clean-window floor) — without the
+      // floor an all-storm session's least-stalled leg scores 1.0
+      val cpuRefMs = Map(
+        "n" -> sys.env.getOrElse("SPARK_GRAFT_CPU_REF_MS_N", "0.28").toDouble,
+        "4n" -> sys.env.getOrElse("SPARK_GRAFT_CPU_REF_MS_4N", "0.55").toDouble,
+        "skew" -> sys.env.getOrElse("SPARK_GRAFT_CPU_REF_MS_SKEW", "1.25").toDouble)
+      def bestCpuPage(mode: String): Double = math.min(
+        ts.flatMap(_.legs)
           .filter(l => l.mode == mode && l.res.pages > 0)
-          .map(_.cpuPerPage).minOption.getOrElse(Double.MaxValue)
+          .map(_.cpuPerPage).minOption.getOrElse(Double.MaxValue),
+        cpuRefMs(mode) / 1000.0)
       def cpuHealth(l: Leg): Double =
         if (l.res.pages <= 0) 0.0 else bestCpuPage(l.mode) / l.cpuPerPage
       // clean legs repeat within ~±10% cpu/page while contended ones sit
@@ -487,21 +531,34 @@ object Bench {
       def legHealth(l: Leg): Double =
         math.min(math.min(health(l.before), health(l.after)),
           math.min(1.0, cpuHealth(l) * 1.125))
-      def effHealth(t: Trial): Double = math.min(legHealth(t.legN), legHealth(t.leg4N))
-      def skewHealth(t: Trial): Double = math.min(legHealth(t.leg4N), legHealth(t.legSkew))
+      def effHealth(t: Trial): Double =
+        t.legN.map(l => math.min(legHealth(l), legHealth(t.leg4N))).getOrElse(0.0)
+      def skewHealth(t: Trial): Double =
+        t.legSkew.map(l => math.min(legHealth(t.leg4N), legHealth(l))).getOrElse(0.0)
+      def effCertified: Boolean = ts.exists(t => effHealth(t) >= cleanBar)
+      def skewCertified: Boolean = ts.exists(t => skewHealth(t) >= cleanBar)
       var stopReason = "max_trials"
       var last = takeProbe() // warm + first window sample
       while (ts.size < maxTrials && {
         if (ts.size < trials) true
-        else if (ts.exists(t => effHealth(t) >= cleanBar) &&
-            ts.exists(t => skewHealth(t) >= cleanBar)) { stopReason = "clean_windows_found"; false }
+        else if (effCertified && skewCertified) { stopReason = "clean_windows_found"; false }
         else if (!budgetLeft) { stopReason = "budget"; false }
         else true
-      }) last = runTrial(last)
-      if (stopReason == "max_trials" && ts.exists(t => effHealth(t) >= cleanBar) &&
-          ts.exists(t => skewHealth(t) >= cleanBar)) stopReason = "clean_windows_found"
-      val selEff = ts.indices.maxBy(i => effHealth(ts(i)))
-      val selSkew = ts.indices.maxBy(i => skewHealth(ts(i)))
+      }) {
+        // PARTIAL trials (v3): once one pair is certified, its extra leg
+        // stops re-running — later trials keep the 4N leg (shared by both
+        // pairs) plus the leg of the still-uncertified pair, so the
+        // remaining budget buys more window samples where they're needed.
+        // The first `trials` trials always run all three legs.
+        val full = ts.size < trials
+        last = runTrial(last, full || !effCertified, full || !skewCertified)
+      }
+      if (stopReason == "max_trials" && effCertified && skewCertified)
+        stopReason = "clean_windows_found"
+      // tuple tiebreak: if every health degenerates to 0 (crashed
+      // children), still select a trial that HAS the pair's legs
+      val selEff = ts.indices.maxBy(i => (effHealth(ts(i)), ts(i).legN.isDefined))
+      val selSkew = ts.indices.maxBy(i => (skewHealth(ts(i)), ts(i).legSkew.isDefined))
       val sel = ts(selEff)
       val rN = sel.rN; val r4N = sel.r4N; val rSkew = ts(selSkew).rSkew
       val wCtl = sel.wctl
@@ -513,17 +570,20 @@ object Bench {
       val effSus = sel.effSus
       val skewRatio = ts(selSkew).skewRatio
       val n4 = benchN * 4
+      // missing legs of a partial trial emit JSON null, never a fake 0
+      def jn(o: Option[Leg], f2: Leg => Double, scale: Double = 1.0, dec: Int = 3): String =
+        o.map(l => s"%.${dec}f".format(f2(l) * scale)).getOrElse("null")
       val trialsJson = ts.zipWithIndex.map { case (t, i) =>
         val probesJson = t.probes.map(p =>
           f"""{"wl_thr_n":${p.thrN}%.0f,"wl_thr_4n":${p.thr4N}%.0f,"pe":${p.pe}%.3f,"health":${health(p)}%.3f}""")
           .mkString("[", ",", "]")
         f"""{"trial":$i,"probes":$probesJson,"wait_probes":${t.waitProbes},"wctl":${t.wctl}%.3f,""" +
-        f""""cpu_ms_page":{"n":${t.legN.cpuPerPage * 1000}%.3f,"4n":${t.leg4N.cpuPerPage * 1000}%.3f,"skew":${t.legSkew.cpuPerPage * 1000}%.3f},""" +
-        f""""cpu_health":{"n":${cpuHealth(t.legN)}%.3f,"4n":${cpuHealth(t.leg4N)}%.3f,"skew":${cpuHealth(t.legSkew)}%.3f},""" +
-        f""""sustained_n":${t.susN}%.1f,"sustained_4n":${t.sus4N}%.1f,"total_n":${t.thrN}%.1f,"total_4n":${t.thr4N}%.1f,""" +
-        f""""skew_total":${t.thrSkew}%.1f,"skew_sustained":${t.susSkew}%.1f,""" +
-        f""""sustained_efficiency":${t.effSus}%.3f,"normalized_vs_workload":${t.effSus / math.max(t.wctl, 0.001)}%.3f,""" +
-        f""""skew_total_ratio":${t.skewRatio}%.3f,"eff_window_health":${effHealth(t)}%.3f,"skew_window_health":${skewHealth(t)}%.3f}"""
+        f""""cpu_ms_page":{"n":${jn(t.legN, _.cpuPerPage, 1000)},"4n":${t.leg4N.cpuPerPage * 1000}%.3f,"skew":${jn(t.legSkew, _.cpuPerPage, 1000)}},""" +
+        f""""cpu_health":{"n":${jn(t.legN, cpuHealth)},"4n":${cpuHealth(t.leg4N)}%.3f,"skew":${jn(t.legSkew, cpuHealth)}},""" +
+        f""""sustained_n":${jn(t.legN, _ => t.susN, 1, 1)},"sustained_4n":${t.sus4N}%.1f,"total_n":${jn(t.legN, _ => t.thrN, 1, 1)},"total_4n":${t.thr4N}%.1f,""" +
+        f""""skew_total":${jn(t.legSkew, _ => t.thrSkew, 1, 1)},"skew_sustained":${jn(t.legSkew, _ => t.susSkew, 1, 1)},""" +
+        f""""sustained_efficiency":${jn(t.legN, _ => t.effSus)},"normalized_vs_workload":${jn(t.legN, _ => t.effSus / math.max(t.wctl, 0.001))},""" +
+        f""""skew_total_ratio":${jn(t.legSkew, _ => t.skewRatio)},"eff_window_health":${effHealth(t)}%.3f,"skew_window_health":${skewHealth(t)}%.3f}"""
       }.mkString("[", ",", "]")
       val phaseKeys = (rN.phases.keySet ++ r4N.phases.keySet).toSeq
         .sortBy(k => -rN.phases.getOrElse(k, 0.0))
@@ -545,15 +605,18 @@ object Bench {
         f""""pages":${rN.pages},"secs_n":${rN.secs}%.1f,"secs_4n":${r4N.secs}%.1f,""" +
         f""""skew_urls_per_sec_4n":$thrSkew%.1f,"skew_sustained_4n":$susSkew%.1f,"skew_pages":${rSkew.pages},""" +
         f""""skew_total_ratio":$skewRatio%.3f,""" +
-        s""""selection":"every crawl leg is bracketed by ~10s workload-shaped probes (generate+parse on raw threads at N and 4N) and gated on pre-leg probe health; a leg's window health = min of (adjacent-probe throughput vs session best, per thread count) and (session-best process-CPU-per-page for its mode / its own: CPU cost catches contention bursts shorter than the leg that slip between brackets, and selecting by a cost metric cannot inflate the reported throughput); headline eff comes from the trial whose N and 4N legs have the best certified health, skew from the trial whose 4N and skew legs do; trials run adaptively until both selections are certified clean (>=0.9) or the budget ends; all trials and probes recorded","selected_trial_eff":$selEff,"selected_trial_skew":$selSkew,"trials_run":${ts.size},"stop_reason":"$stopReason",""" +
+        s""""selection":"every crawl leg is bracketed by ~10s workload-shaped probes (generate+parse on raw threads at N and 4N) and gated on pre-leg probe health; a leg's window health = min of (adjacent-probe throughput vs max(session best, measured clean-window floor), per thread count) and (reference process-CPU-per-page for its mode / its own, same floor rule: CPU cost catches contention bursts shorter than the leg that slip between brackets, and selecting by a cost metric cannot inflate the reported throughput); the absolute floors keep an all-storm session from falsely certifying its least-bad trial and cannot change selection ordering; headline eff comes from the trial whose N and 4N legs have the best certified health, skew from the trial whose 4N and skew legs do; trials run adaptively until both selections are certified clean (>=0.9) or the budget ends, and once one pair is certified later trials drop its extra leg (partial trials: the shared 4N leg plus the uncertified pair's leg buy more samples where needed); all trials and probes recorded","selected_trial_eff":$selEff,"selected_trial_skew":$selSkew,"trials_run":${ts.size},"stop_reason":"$stopReason",""" +
         f""""selected_eff_window_health":${effHealth(sel)}%.3f,"selected_skew_window_health":${skewHealth(ts(selSkew))}%.3f,"trials":$trialsJson,""" +
         f""""phases_n_4n":$phaseJson}"""
       val trialTable = ts.zipWithIndex.map { case (t, i) =>
         val mk = (b: Boolean) => if (b) " **<-**" else ""
+        def md2(o: Option[Leg], f2: Leg => Double, dec: Int = 2): String =
+          o.map(l => s"%.${dec}f".format(f2(l))).getOrElse("-")
         f"| $i | ${t.probes.map(p => f"${health(p)}%.2f").mkString(" ")} | " +
-          f"${cpuHealth(t.legN)}%.2f ${cpuHealth(t.leg4N)}%.2f ${cpuHealth(t.legSkew)}%.2f | " +
-          f"${t.wctl}%.3f | ${t.susN}%.0f | ${t.sus4N}%.0f | " +
-          f"${t.effSus}%.3f | ${t.effSus / math.max(t.wctl, 0.001)}%.3f | ${t.thrSkew}%.0f | ${t.skewRatio}%.3f | " +
+          f"${md2(t.legN, cpuHealth)} ${cpuHealth(t.leg4N)}%.2f ${md2(t.legSkew, cpuHealth)} | " +
+          f"${t.wctl}%.3f | ${md2(t.legN, _ => t.susN, 0)} | ${t.sus4N}%.0f | " +
+          f"${md2(t.legN, _ => t.effSus, 3)} | ${md2(t.legN, _ => t.effSus / math.max(t.wctl, 0.001), 3)} | " +
+          f"${md2(t.legSkew, _ => t.thrSkew, 0)} | ${md2(t.legSkew, _ => t.skewRatio, 3)} | " +
           f"${effHealth(t)}%.3f${mk(i == selEff)} | ${skewHealth(t)}%.3f${mk(i == selSkew)} |"
       }.mkString("\n")
       val md =
@@ -576,16 +639,24 @@ object Bench {
            |generate+parse on raw threads at N and 4N threads): probe,
            |N crawl, probe, 4N crawl, probe, skew crawl, probe. A leg's
            |window health = min over its two adjacent probes of (probe
-           |throughput / session-best probe throughput) at each thread
-           |count — an absolute contention signal independent of the crawl
-           |numbers it certifies. Because a contended leg costs minutes and
+           |throughput / reference throughput) at each thread count —
+           |an absolute contention signal independent of the crawl
+           |numbers it certifies. The reference is max(session-best
+           |probe, a measured clean-window FLOOR, env-overridable):
+           |relative-to-session-best alone fails open in an all-storm
+           |session (equally contended probes score ~1.0 and the
+           |least-bad trial would be falsely certified); the floor makes
+           |certification honest and cannot change selection ordering.
+           |Because a contended leg costs minutes and
            |a probe costs seconds, a leg is GATED: while the pre-leg probe
-           |health is < 0.85 the bench waits 15 s and re-probes (bounded per
+           |health is < 0.85 (session-relative, so a slower host cannot
+           |wait forever) the bench waits 15 s and re-probes (bounded per
            |leg and by the budget; wait probes are counted per trial and
            |feed the session-best reference). Probes alone miss bursts
            |SHORTER than a leg (a leg ran 3x slow with brackets at
            |0.92/0.87), so each leg also carries a CPU-cost health: its
-           |process-CPU per page vs the session best for its mode — steal
+           |process-CPU per page vs the same floor-anchored reference for
+           |its mode — steal
            |stretches wall and bus contention bills cache-miss stalls as
            |CPU, both inflating the cost (observed ~2-2.5x contended); a
            |COST metric cannot inflate the throughput being selected. Leg
@@ -594,9 +665,14 @@ object Bench {
            |health; skew from the trial whose 4N+skew legs do. Trials run
            |ADAPTIVELY until
            |both selections are probe-certified (health >= 0.9) or the
-           |budget ends — gating and the stop rule change how long we look,
+           |budget ends; once ONE pair is certified, later trials drop its
+           |extra leg (partial trials — the shared 4N leg plus the
+           |uncertified pair's leg) so the budget buys more window samples
+           |where they are needed. Gating, partial trials, and the stop
+           |rule change how long we look,
            |never what is reported. All trials and probes are in
-           |`BENCH_r*.json` under `crawl.trials` (`stop_reason` records why
+           |`BENCH_r*.json` under `crawl.trials` (missing legs of a
+           |partial trial record as JSON null; `stop_reason` records why
            |sampling stopped).
            |
            || trial | leg-bracket probe healths | cpu-health n/4n/skew | wctl | sus N | sus 4N | eff | eff/wctl | skew URLs/s | skew ratio | eff-health | skew-health |

@@ -453,31 +453,37 @@ object Bench {
       // env-overridable; a faster host's session best simply takes over).
       // Every trial divides by the same constant, so selection ORDERING
       // is unchanged — the floor only makes certification and the
-      // reported health values honest. The pre-leg GATE below stays
-      // session-relative, so a permanently slower host degrades to
-      // "no gating benefit", never to infinite waits.
+      // reported health values honest. The pre-leg GATE below waits on
+      // the same absolute health, but its total waiting is bounded by a
+      // session-wide pool, so a permanently slower host drains the pool
+      // once and then proceeds ungated — never infinite waits.
       val probeRefN = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_N", "225000").toDouble
       val probeRef4N = sys.env.getOrElse("SPARK_GRAFT_PROBE_REF_4N", "610000").toDouble
       def health(p: Probe): Double = math.min(
         p.thrN / math.max(allProbes.map(_.thrN).max, probeRefN),
         p.thr4N / math.max(allProbes.map(_.thr4N).max, probeRef4N))
-      def gateHealth(p: Probe): Double = math.min(
-        p.thrN / allProbes.map(_.thrN).max,
-        p.thr4N / allProbes.map(_.thr4N).max)
       // PRE-LEG GATE: a contended crawl leg costs minutes (a rehearsal 4N
       // leg took 217 s vs 40 s clean) while a probe costs seconds — so
       // don't START a leg while the window is visibly contended; wait and
-      // re-probe instead. Health is relative to the session-best probe, so
-      // an all-contended session gates nothing (first probes score ~1.0)
-      // and the budget still bounds total waiting. Every wait probe is
-      // counted in the trial's JSON row.
+      // re-probe instead. The gate waits on the floor-anchored ABSOLUTE
+      // health (v3: a session-relative gate never waits in a uniform
+      // storm, yet storms do end mid-budget — waiting is precisely what
+      // buys landing in the post-storm window). Pathological hosts are
+      // bounded twice: per-leg by maxWaits and session-wide by a wait
+      // POOL of budget/4 — a host that can never reach the floor drains
+      // the pool once, then every later leg starts immediately. Every
+      // wait probe is counted in the trial's JSON row.
       val gateBar = 0.85
       var waitCount = 0
+      var waitSpentS = 0.0
       def gated(last: Probe, maxWaits: Int = 8): Probe = {
         var p = last
         var w = 0
-        while (gateHealth(p) < gateBar && w < maxWaits && budgetLeft) {
+        while (health(p) < gateBar && w < maxWaits && budgetLeft &&
+            waitSpentS < budgetS / 4.0) {
+          val t0 = System.nanoTime()
           Thread.sleep(15000); p = takeProbe(); w += 1; waitCount += 1
+          waitSpentS += (System.nanoTime() - t0) / 1e9
         }
         p
       }
@@ -649,10 +655,13 @@ object Bench {
            |certification honest and cannot change selection ordering.
            |Because a contended leg costs minutes and
            |a probe costs seconds, a leg is GATED: while the pre-leg probe
-           |health is < 0.85 (session-relative, so a slower host cannot
-           |wait forever) the bench waits 15 s and re-probes (bounded per
-           |leg and by the budget; wait probes are counted per trial and
-           |feed the session-best reference). Probes alone miss bursts
+           |health is < 0.85 (the same floor-anchored absolute health —
+           |waiting through a storm is precisely what buys landing in the
+           |post-storm window) the bench waits 15 s and re-probes, bounded
+           |per leg (8 waits), by a session-wide wait pool (budget/4, so a
+           |host that can never reach the floor drains the pool once and
+           |then proceeds ungated), and by the budget; wait probes are
+           |counted per trial and feed the session-best reference. Probes alone miss bursts
            |SHORTER than a leg (a leg ran 3x slow with brackets at
            |0.92/0.87), so each leg also carries a CPU-cost health: its
            |process-CPU per page vs the same floor-anchored reference for

@@ -55,13 +55,21 @@ object Dedup {
       shingleN: Int = 3, k: Int = 16, bands: Int = 4, threshold: Double = 0.7): DataFrame = {
     require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
     val r = k / bands
-    val base = df
-      .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
+    // ONE cached pass computes shingles + signature (subexpression
+    // elimination shares the wordShingles call inside the project). The
+    // self-join and the late shingle re-joins each re-read this cache —
+    // without it the whole scan+shingle+signature subtree is duplicated
+    // into every join arm by plan expansion (guide §2.4: shared subtrees
+    // should share one materialization).
+    val m = df
+      .select(col(idCol).as("__id"),
+        TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"),
+        minhashSignature(TextFunctions.wordShingles(col(textCol), shingleN), k).as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val base = m.filter(size(col("__sh")) > 0).select(col("__id"), col("__sh"))
     // band keys are the signature slices themselves (array<long> join keys —
     // exact band equality, no hash-collision recheck needed)
-    val banded = base
-      .select(col("__id"), minhashSignature(col("__sh"), k).as("__sig"))
+    val banded = m.filter(size(col("__sh")) > 0)
       .select(col("__id"), posexplode(
         array((0 until bands).map(b => slice(col("__sig"), b * r + 1, r)): _*))
         .as(Seq("__band", "__bkey")))
@@ -117,10 +125,17 @@ object Dedup {
     val (m, c) = options.maxBy { case (mm, cc) => (cc * (60 / mm), -choose(mm, cc)) }
     val blockBits = 60 / m
     val mask = (1L << blockBits) - 1
+    // ONE cached (id, shingle-count, signature) pass — the banded self-join
+    // otherwise duplicates the scan+shingle+simhash subtree into both join
+    // arms (and the size filter re-evaluated wordShingles per row). The
+    // cache is two longs + an int per row.
     val withSig = df
-      .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("__id"), simhash(col("__sh")).as("__sim"))
+      .select(col(idCol).as("__id"),
+        size(TextFunctions.wordShingles(col(textCol), shingleN)).as("__n"),
+        simhash(TextFunctions.wordShingles(col(textCol), shingleN)).as("__sim"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__n") > 0)
+      .select(col("__id"), col("__sim"))
     val comboKeys: Seq[Column] = (0 until m).combinations(c).map { blocks =>
       blocks.foldLeft(lit(0L)) { (acc, b) =>
         shiftleft(acc, blockBits).bitwiseOR(
@@ -157,8 +172,12 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // cached shingle pass: consumed by the token explode AND the two late
+    // verification joins — three plan arms that would otherwise each
+    // re-scan and re-shingle the corpus
     val docs = df
       .select(col(idCol).as("__id"), TextFunctions.wordShingles(col(textCol), shingleN).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .filter(size(col("__sh")) > 0)
     val toks = docs.select(col("__id"), size(col("__sh")).as("__m"), explode(col("__sh")).as("__s"))
     // Global shingle order for the prefix lemma. ANY fixed total order
@@ -177,12 +196,17 @@ object Dedup {
     // otherwise shorten the prefix and break the recall-1.0 guarantee).
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__hot"), col("__o"), col("__s"))
+    // cached: the inverted-index self-join reads `prefix` TWICE — without
+    // the cache the whole shingle+freq+window pipeline above is planned
+    // (and executed) once per join arm, including the global hot-shingle
+    // aggregate
     val prefix = toks.join(broadcast(hot), Seq("__s"), "left")
       .withColumn("__hot", when(col("__f").isNull, 0).otherwise(1))
       .withColumn("__o", when(col("__f").isNull, xxhash64(col("__s"))).otherwise(col("__f")))
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= col("__m") - ceil(lit(threshold) * col("__m") - lit(1e-9)) + 1)
       .select(col("__s"), col("__id"), col("__m"), col("__r"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // two exact prunes on top of the prefix match:
     //  - size filter (necessary for J>=t, -1 slack against double rounding):
     //    t*|a| <= |b| <= |a|/t
@@ -213,8 +237,10 @@ object Dedup {
     */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double = 0.95, tables: Int = 4, planes: Int = 4, dim: Int = 64): DataFrame = {
+    // cached (id, table, bucket) rows: the band self-join reads this twice
     val bucketed = df.select(col(idCol).as("__id"),
       posexplode(Similarity.bucketIds(col(vecCol), tables, planes, dim)).as(Seq("__t", "__bkt")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bucketed.select(col("__t"), col("__bkt"), col("__id").as("id_a"))
       .join(bucketed.select(col("__t"), col("__bkt"), col("__id").as("id_b")), Seq("__t", "__bkt"))
       .filter(col("id_a") < col("id_b"))

@@ -23,13 +23,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns (built-ins only). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two float-array columns — one-pass codegen
+    * expression ([[VecHash.cosineSim]]), numerically identical to the
+    * higher-order `aggregate(zip_with(...))` chain it replaces. The chain
+    * was the verification hot spot: higher-order functions execute
+    * INTERPRETED (CodegenFallback) and re-walk the lambda per element, so
+    * every candidate pair paid ~3 interpreted array traversals.
+    */
+  def cosine(a: Column, b: Column): Column = hashfns.cosine_sim(a, b)
 
   /** Brute-force cosine top-k neighbors for each query vector.
     *

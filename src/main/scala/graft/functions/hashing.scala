@@ -180,6 +180,32 @@ object VecHash {
       w
     })
 
+  /** Cosine similarity of two float arrays in ONE codegen pass —
+    * bit-identical to the built-in higher-order chain
+    * `aggregate(zip_with(a,b,(x,y)=>x*y), 0.0, (acc,v)=>acc+v) /
+    * (sqrt(aggregate(a,0.0,acc+v*v)) * sqrt(aggregate(b,0.0,acc+v*v)))`,
+    * which Spark executes INTERPRETED (higher-order functions are
+    * CodegenFallback): per-element FLOAT product (rounded to float, as the
+    * float×float lambda does), DOUBLE accumulation left-to-right, null when
+    * the chain would be null (zip_with pads unequal lengths with null;
+    * null elements poison the aggregate).
+    */
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val la = a.numElements(); val lb = b.numElements()
+    if (la != lb) return null // zip_with pad -> null product -> null sum
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < la) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = a.getFloat(i); val y = b.getFloat(i)
+      dot += (x * y).toDouble // float multiply THEN widen, like the lambda
+      na += (x * x).toDouble
+      nb += (y * y).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** One bucket id per table in ONE pass over the vector: p sign bits of
     * integer-quantized projections (floor(x·1024)·w, exact fixed-point).
     */
@@ -266,6 +292,37 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
 
+/** `cosine_sim(a, b)` → double: one-pass codegen cosine of two
+  * `array<float>` columns, numerically identical to the interpreted
+  * higher-order chain it replaces (see [[VecHash.cosineSim]]).
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim requires two array<float> inputs, got ${left.dataType}, ${right.dataType}")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecHash.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VecHash.cosineSim($a, $b);
+         |if (${ev.value}_r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ${ev.value}_r.doubleValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
 /** `hash60(str)` → long: md5-derived 60-bit content hash (fingerprints). */
 case class Hash60(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -285,6 +342,7 @@ object hashfns {
   def simhash60(shingles: Column): Column = column(SimHash60(e(shingles)))
   def hash60(s: Column): Column = column(Hash60(e(s)))
   def word_shingles(text: Column, n: Int): Column = column(WordShingles(e(text), n))
+  def cosine_sim(a: Column, b: Column): Column = column(CosineSim(e(a), e(b)))
   def hyperplane_buckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
     column(HyperplaneBuckets(e(vec), tables, planes, dim))
 }

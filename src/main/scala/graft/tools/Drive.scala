@@ -93,6 +93,31 @@ object Drive {
         s"sim=${rows.head.getLong(2)} h60=${rows.head.getLong(3)}")
       spark.stop(); return
     }
+    if (args.headOption.contains("cosinedrive")) {
+      // r6: CosineSim codegen expression under CODEGEN_ONLY over a parquet
+      // scan — must equal the interpreted higher-order chain it replaced,
+      // bit for bit, on real embedding pairs
+      import graft.functions.Similarity
+      import org.apache.spark.sql.functions._
+      val spark = session(4)
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val pairs = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+        .join(e.select(col("vec_id").as("ib"), col("embedding").as("vb")),
+          col("ia") < col("ib") && pmod(col("ia") + col("ib"), lit(23)) === 0)
+      def oldCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+        val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+        val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+        val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+        dot / (na * nb)
+      }
+      val out = pairs.select(col("ia"), col("ib"),
+        Similarity.cosine(col("va"), col("vb")).as("n"), oldCosine(col("va"), col("vb")).as("o"))
+      out.select(col("ia"), col("ib"), col("n")).explain("formatted")
+      val total = out.count()
+      val diverging = out.filter(col("n") =!= col("o")).count()
+      println(s"COSINEDRIVE pairs=$total diverging=$diverging")
+      spark.stop(); return
+    }
     if (args.headOption.contains("dedupprof")) {
       // per-stage profile of the sketch dedup queries at sf0.1
       import graft.functions.TextFunctions

@@ -114,6 +114,35 @@ class FunctionsSpec extends AnyFunSuite {
       if (d.kind == "image") d.frames.isEmpty else d.frames.length == 3))
   }
 
+  test("codegen cosine_sim is bit-identical to the higher-order aggregate/zip_with chain") {
+    // the r6 optimization replaced the interpreted chain with a one-pass
+    // codegen expression; the replacement must reproduce the chain's exact
+    // double arithmetic (float product, left-to-right double accumulation)
+    // and null semantics, or the LSH/near-dup pair sets shift
+    val rnd = new scala.util.Random(42)
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.fill(64)((rnd.nextGaussian() * (i % 7 + 1)).toFloat))
+    }.toDF("id", "v")
+    val pairs = vecs.select(col("id").as("ia"), col("v").as("va"))
+      .crossJoin(vecs.select(col("id").as("ib"), col("v").as("vb")))
+      .filter(col("ia") < col("ib") && pmod(col("ia") + col("ib"), lit(7)) === 0)
+    def oldCosine(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) = {
+      val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+      val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+      val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v * v))
+      dot / (na * nb)
+    }
+    val diff = pairs.select(
+      oldCosine(col("va"), col("vb")).as("o"),
+      Similarity.cosine(col("va"), col("vb")).as("n"))
+      .filter(col("o") =!= col("n")).count()
+    assert(diff == 0, s"$diff pairs diverge between codegen and higher-order cosine")
+    // null / unequal-length semantics match the chain: null result
+    val edge = Seq((Array(1f, 2f), Array(1f, 2f, 3f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).head()
+    assert(edge.isNullAt(0), "unequal-length arrays must yield null like zip_with padding")
+  }
+
   test("token count, langid features, shingles behave") {
     val df = Seq(
       (1L, "the cat sat on the mat and the dog"),

@@ -490,11 +490,27 @@ class CrawlEngine(
     // thousand-way union plan whose canonicalization alone OOMs the driver)
     var pagesWritten = false
     var restoredPages: Option[DataFrame] = None // resume-injected prior pages
+    // Small-epoch page-delta buffer: tiny epochs append their parsed pages
+    // here and flush to ONE parquet delta per `pageBufCap` rows instead of
+    // paying a Spark write job per epoch (a toy crawl of 40 epochs paid 40
+    // jobs for a few hundred rows total). Every reader of the sink flushes
+    // first (`def pages`), so the view is always complete; `epoch` rides in
+    // the rows, so multi-epoch deltas are exact. Bounded by the cap.
+    val pageBuf = scala.collection.mutable.ArrayBuffer.empty[ParsedPage]
+    var pageBufN = 0
+    def flushPageBuf(): Unit = if (pageBuf.nonEmpty) {
+      pageBufN += 1
+      spark.createDataset(pageBuf.toIndexedSeq).coalesce(1)
+        .write.option("compression", "none").parquet(s"$pagesSink/buf_$pageBufN")
+      pagesWritten = true
+      pageBuf.clear()
+    }
     val pageCols = Seq(col("url"), col("final_url"), col("host"), col("depth"),
       col("discovery_seq"), col("epoch"), col("status"), col("signature"),
       col("title"), col("description"), col("og_image"), col("charset"),
       col("etag"), col("spans"))
     def pages: DataFrame = {
+      flushPageBuf()
       val retriedCol = retry.isRetryable(col("status")) && col("attempt") < retry.maxAttempts
       val fresh =
         if (!pagesWritten) emptyPages
@@ -1072,7 +1088,12 @@ class CrawlEngine(
         else admittedV.sorted(Sequential.hostOrder)
       val fetched0: Array[FetchResult] =
         if (admittedV.isEmpty) Array.empty
-        else fetcher.fetch(spark, spark.createDataset(fetchOrderedV)).collect()
+        else fetcher.fetchLocal(fetchOrderedV) match {
+          // driver-local fast path (identical per-row semantics by the
+          // Fetcher contract): a tiny epoch skips the fetch job entirely
+          case Some(rs) => rs.toArray
+          case None => fetcher.fetch(spark, spark.createDataset(fetchOrderedV)).collect()
+        }
       val pos = admittedV.iterator.map(_.url).zipWithIndex.toMap
       val fetched = fetched0.sortBy(f => pos.getOrElse(f.url, Int.MaxValue))
       // B9 reactive signals: 429 Retry-After override + bucket drain;
@@ -1128,9 +1149,10 @@ class CrawlEngine(
       val ep = epoch
       val parsedV = keep.map(f => CrawlEngine.parsePage(f, sc, ep, lrw))
       if (parsedV.nonEmpty) {
-        spark.createDataset(parsedV.toIndexedSeq).coalesce(1)
-          .write.option("compression", "none").parquet(s"$pagesSink/epoch=$epoch")
-        pagesWritten = true
+        // buffered sink delta (one write job per pageBufCap rows, not per
+        // epoch); every pages-view read flushes first
+        pageBuf ++= parsedV
+        if (pageBuf.size >= CrawlEngine.pageBufCap) flushPageBuf()
       }
       // B11 veto gates expansion of ordinary pages; chain-phase sitemap
       // docs bypass it (the reference parses sitemaps outside the page
@@ -1989,6 +2011,13 @@ object CrawlEngine {
     * while bounding driver memory on long trackBlocked crawls).
     */
   private[engine] val blockedBufCap = 65536
+
+  /** Small-path parsed pages buffer driver-side up to this many rows before
+    * flushing one parquet delta — tiny epochs stop paying a write job each
+    * (r6). Rows are full ParsedPages (spans included), so the cap bounds
+    * driver memory; any pages-view read flushes first.
+    */
+  private[engine] val pageBufCap = 16384
 
   /** Case-insensitive frontier dedup keeping the canonical-min row
     * (depth, discovery_seq, host, url) — a map-side-combining hash

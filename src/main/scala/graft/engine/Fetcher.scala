@@ -49,6 +49,20 @@ final case class FetchResult(
   */
 trait Fetcher extends Serializable {
   def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult]
+
+  /** OPTIONAL driver-local fast path for TINY admitted batches (the
+    * engine's small-epoch path, bounded by `smallEpochThreshold`): return
+    * `Some(results)` computed locally with semantics IDENTICAL to
+    * [[fetch]] on the same entries (same per-row outcome, any order), or
+    * `None` (the default) to run the Spark path. A toy-scale epoch of a
+    * few dozen rows otherwise pays a full Spark job (plan + schedule +
+    * collect) just to evaluate a pure function; implementing this for a
+    * driver-computable fetcher removes that fixed cost. The engine never
+    * calls this above the small-epoch threshold, and the ride-along
+    * admit-stats contract does not apply (the small path keeps its own
+    * driver-side stats).
+    */
+  def fetchLocal(entries: Seq[FrontierEntry]): Option[Seq[FetchResult]] = None
 }
 
 /** Fetches from the deterministic synthetic corpus by evaluating the pure
@@ -61,25 +75,35 @@ final class GenerativeFetcher(params: CorpusParams, redirectLimit: Int = 7) exte
     import spark.implicits._
     val p = params
     val rl = redirectLimit
-    admitted.mapPartitions { it =>
-      it.map { e =>
-        var url = e.url
-        var doc = CorpusGen.docFor(p, url)
-        var hops = 0
-        while (doc != null && doc.status >= 300 && doc.status < 400 && doc.redirect_to != null && hops < rl) {
-          url = doc.redirect_to
-          doc = CorpusGen.docFor(p, url)
-          hops += 1
-        }
-        val lat = CorpusGen.latencyMsFor(p, e.host)
-        if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty, 0L, lat)
-        else if (doc.status >= 300 && doc.status < 400)
-          FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat) // too many redirects
-        else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
-          if (doc.status == 429) CorpusGen.retryAfterMsFor(p, url) else 0L, lat,
-          doc.charset, if (doc.status == 200) CorpusGen.etagFor(p, url) else null)
-      }
+    admitted.mapPartitions { it => it.map(GenerativeFetcher.fetchOne(p, rl, _)) }
+  }
+
+  /** Same pure per-entry function, evaluated on the driver (small epochs). */
+  override def fetchLocal(entries: Seq[FrontierEntry]): Option[Seq[FetchResult]] =
+    Some(entries.map(GenerativeFetcher.fetchOne(params, redirectLimit, _)))
+}
+
+object GenerativeFetcher {
+  /** The single per-entry fetch semantics, shared by the distributed
+    * mapPartitions and the driver-local fast path (and mirroring
+    * OracleCrawler's inline copy).
+    */
+  private[engine] def fetchOne(p: CorpusParams, rl: Int, e: FrontierEntry): FetchResult = {
+    var url = e.url
+    var doc = CorpusGen.docFor(p, url)
+    var hops = 0
+    while (doc != null && doc.status >= 300 && doc.status < 400 && doc.redirect_to != null && hops < rl) {
+      url = doc.redirect_to
+      doc = CorpusGen.docFor(p, url)
+      hops += 1
     }
+    val lat = CorpusGen.latencyMsFor(p, e.host)
+    if (doc == null) FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 404, url, Array.empty, 0L, lat)
+    else if (doc.status >= 300 && doc.status < 400)
+      FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, 310, url, Array.empty, 0L, lat) // too many redirects
+    else FetchResult(e.url, e.host, e.depth, e.discovery_seq, e.priority, e.attempt, doc.status, url, doc.spans,
+      if (doc.status == 429) CorpusGen.retryAfterMsFor(p, url) else 0L, lat,
+      doc.charset, if (doc.status == 200) CorpusGen.etagFor(p, url) else null)
   }
 }
 
@@ -104,6 +128,18 @@ final class SeededFetcher(inner: Fetcher, seeded: Map[String, FetchResult]) exte
     }
     val miss = admitted.filter(e => !bc.value.contains(e.url))
     hit.unionByName(inner.fetch(spark, miss))
+  }
+
+  override def fetchLocal(entries: Seq[FrontierEntry]): Option[Seq[FetchResult]] = {
+    val (hits, misses) = entries.partition(e => seeded.contains(e.url))
+    inner.fetchLocal(misses).map { missResults =>
+      hits.map { e =>
+        val c = seeded(e.url)
+        c.copy(url = e.url, host = e.host, depth = e.depth,
+          discovery_seq = e.discovery_seq, priority = e.priority, attempt = e.attempt,
+          f_final_url = if (c.f_final_url == null) e.url else c.f_final_url)
+      } ++ missResults
+    }
   }
 }
 
@@ -130,6 +166,16 @@ final class RevalidatingFetcher(inner: Fetcher, cache: Map[String, FetchResult])
       }.getOrElse(f)
     }
   }
+
+  override def fetchLocal(entries: Seq[FrontierEntry]): Option[Seq[FetchResult]] =
+    inner.fetchLocal(entries).map(_.map { f =>
+      if (f.f_status != 304) f
+      else cache.get(f.url).map { c =>
+        c.copy(url = f.url, host = f.host, depth = f.depth,
+          discovery_seq = f.discovery_seq, priority = f.priority, attempt = f.attempt,
+          f_retry_after_ms = f.f_retry_after_ms, f_latency_ms = f.f_latency_ms)
+      }.getOrElse(f)
+    })
 }
 
 /** Whole-crawl cache warm start (reference `try_cache_shortcircuit`

@@ -1196,11 +1196,21 @@ class CrawlEngine(
           sigRddEpochs += 1
         }
       } else expandingV = afterVeto.filter(_.status == 200).toVector
-      // C2/D1 links: explode, ci-dedup keep canonical-min, global seq
+      // C2/D1 links: explode, ci-dedup keep canonical-min, seen-filter
+      // (r6: links to already-seen URLs are dropped BEFORE seq assignment —
+      // mirrors the distributed path and the oracle; seq values compact but
+      // canonical order is preserved), global seq
       val linksRaw = expandingV.flatMap(p =>
         p.links.zipWithIndex.map { case (u, idx) => (p.depth, p.discovery_seq, idx, u) })
-      val uniq = linksRaw.groupBy(t => UrlOps.lowerUtf8(t._4)).values
-        .map(_.min(Sequential.linkOrder)).toVector.sorted(Sequential.linkOrder)
+      val uniq0 = linksRaw.groupBy(t => UrlOps.lowerUtf8(t._4)).values
+        .map(_.min(Sequential.linkOrder)).toVector
+      val uniq = {
+        if (driverSeen != null) uniq0.filterNot(t => driverSeen.contains(UrlOps.lowerUtf8(t._4)))
+        else {
+          val present = probeSeenPresent(uniq0.map(t => UrlOps.lowerUtf8(t._4)))
+          uniq0.filterNot(t => present.contains(UrlOps.lowerUtf8(t._4)))
+        }
+      }.sorted(Sequential.linkOrder)
       val newFrontierV = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
         FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
           UrlOps.scoreUrl(u, pd + 1), 0, 0L)
@@ -1312,10 +1322,14 @@ class CrawlEngine(
         val maybeSeen = withLower.filter(mightContain)
         val lowerIdx = withLower.schema.fieldIndex("url_lower")
         // co-partitioned exact probe (the round-4 A/B retired the round-2
-        // broadcast gate: co-partition won at BOTH parallelism levels)
+        // broadcast gate: co-partition won at BOTH parallelism levels).
+        // InternalRow through the probe shuffle (r6): `Dataset.rdd` built a
+        // GenericRow per candidate and Java-serialized the object graph;
+        // UnsafeRow.copy ships compact row bytes instead.
         val unseen = {
-          val unseenMaybe = spark.createDataFrame(
-            maybeSeen.rdd.map(r => (r.getString(lowerIdx), r))
+          val unseenMaybe = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
+            org.apache.spark.sql.GraftSqlBridge.internalRdd(maybeSeen)
+              .map(r => (r.getUTF8String(lowerIdx).toString, r.copy()))
               .partitionBy(seenPartitioner)
               .zipPartitions(seenProbeRdd(), seenDeltaRdd) { (cit, pit, dit) =>
                 val base: Array[AnyRef] =
@@ -1667,6 +1681,31 @@ class CrawlEngine(
         // whole directory and re-applies the retried filter)
         pagesWritten = true
 
+        // append the epoch's seen delta CO-PARTITIONED, BEFORE link
+        // processing (r6): the link pipeline's seen-filter must observe the
+        // COMPLETE seen set including this epoch's admissions (minus
+        // retried), exactly like the next epoch's gate would. Map side runs
+        // once (shuffle files reused by every later probe), union is
+        // partitioner-aware (no data movement of the base).
+        val deltaRdd = if (retry.maxAttempts > 0) {
+          val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
+          seenCount += seenDeltaCk.count()
+          // every consumer of the admitted cache (bloom, fetch, seen delta)
+          // has materialized — release it NOW (leaving one cached plan per
+          // epoch alive OOMs the driver on multi-hundred-epoch crawls)
+          admittedDs.unpersist(false)
+          seenDeltaCk.rdd.map(r => (r.getString(0), r.getString(1)))
+        } else {
+          // lazy delta over the persisted admitted set — zero extra jobs
+          seenCount += admittedCount
+          admittedCaches :+= admittedDs
+          timed("seen_reroot")(seenDelta.rdd).map(r => (r.getString(0), r.getString(1)))
+        }
+        val seenDeltaPart = deltaRdd.partitionBy(seenPartitioner)
+        seenRdd = spark.sparkContext.union(seenRdd, seenDeltaPart)
+        seenDeltaRdd = spark.sparkContext.union(seenDeltaRdd, seenDeltaPart)
+        seenRddEpochs += 1
+
         // 10. C5 signature dedup: only the canonical-first page per NEW
         //     signature expands links; seen signatures expand nothing
         //     (`website.rs:8671-8683`). Winners are computed as a SKINNY
@@ -1722,20 +1761,23 @@ class CrawlEngine(
           // candidate signatures shuffle; the store is scanned in place
           // (round 2 broadcast the candidate set AND its hits)
           val candsSchema = cands.schema
-          val newWinners = timed("sig_reroot")(spark.createDataFrame(
-            cands.rdd.map(r => (r.getLong(0), r))
-              .partitionBy(seenPartitioner)
-              .zipPartitions(sigProbeRdd(), sigDeltaRdd) { (cit, pit, dit) =>
-                val base = if (pit.hasNext) pit.next() else Array.emptyLongArray
-                var delta: java.util.HashSet[java.lang.Long] = null
-                while (dit.hasNext) {
-                  if (delta == null) delta = new java.util.HashSet[java.lang.Long]()
-                  delta.add(Long.box(dit.next()._1))
-                }
-                cit.collect { case (k, r)
-                  if java.util.Arrays.binarySearch(base, k) < 0 &&
-                    (delta == null || !delta.contains(Long.box(k))) => r }
-              }, candsSchema)
+          // InternalRow probe shuffle (r6) — same rationale as the seen gate
+          val newWinners = timed("sig_reroot")(
+            org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
+              org.apache.spark.sql.GraftSqlBridge.internalRdd(cands)
+                .map(r => (r.getLong(0), r.copy()))
+                .partitionBy(seenPartitioner)
+                .zipPartitions(sigProbeRdd(), sigDeltaRdd) { (cit, pit, dit) =>
+                  val base = if (pit.hasNext) pit.next() else Array.emptyLongArray
+                  var delta: java.util.HashSet[java.lang.Long] = null
+                  while (dit.hasNext) {
+                    if (delta == null) delta = new java.util.HashSet[java.lang.Long]()
+                    delta.add(Long.box(dit.next()._1))
+                  }
+                  cit.collect { case (k, r)
+                    if java.util.Arrays.binarySearch(base, k) < 0 &&
+                      (delta == null || !delta.contains(Long.box(k))) => r }
+                }, candsSchema)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
           sigWinnerCaches :+= newWinners
           val firstPerSig = sigOk.withColumn("__k", sigKey)
@@ -1756,13 +1798,25 @@ class CrawlEngine(
         // 11. explode links; case-insensitive dedup as a map-side-combining
         //     hash aggregate keyed by lower(url) keeping the canonical-min
         //     (p_depth, p_seq, pos, url) — replaces round 1's window over
-        //     every raw link row (full shuffle, no combine). Then assign
-        //     deterministic discovery_seq by global sort; the partition-count
-        //     pass doubles as the new-link count (no separate count job).
+        //     every raw link row (full shuffle, no combine). Then (r6)
+        //     SEEN-FILTER the deduped set — bloom fast-negative split, exact
+        //     co-partitioned probe for the residue — BEFORE the range sort:
+        //     at steady-state fanout most link targets are already seen, so
+        //     the canonical sort/seq machinery, the frontier checkpoint, and
+        //     the next epoch's gate previously all carried rows whose only
+        //     fate was to be discarded by that gate (round-5 verdict #1: the
+        //     links phase was the N->4N scale-killer at 1.04x). The epoch's
+        //     own seen delta was appended above and drainAdmitStats already
+        //     merged this epoch's bloom shards, so the filter sees exactly
+        //     the seen set the next epoch's gate would. Then assign
+        //     deterministic discovery_seq by global sort over the SURVIVORS
+        //     (seq values compact vs pre-r6 but every pairwise canonical
+        //     order relation is preserved — admission decisions and page
+        //     rows are unchanged; oracle + small path mirror this).
         val linksRaw = timed("links_plan")(expanding
           .select(col("depth").as("p_depth"), col("discovery_seq").as("p_seq"),
             posexplode(col("links")).as(Seq("pos", "url"))))
-        val uniq = linksRaw
+        val uniq0 = linksRaw
           .groupBy(lower(col("url")).as("__lu"))
           .agg(min(struct(col("p_depth"), col("p_seq"), col("pos"), col("url"))).as("__m"))
           .select(col("__m.p_depth").as("p_depth"), col("__m.p_seq").as("p_seq"),
@@ -1775,11 +1829,13 @@ class CrawlEngine(
         if (config.smallEpochThreshold > 0 && admittedCount <= config.smallEpochThreshold) {
           // tiny epoch: dedup output is at most admitted×fanout rows —
           // dedup + canonical order + seq assignment complete in ONE
-          // driver job (identical order to the distributed path; the
-          // two-pass range machinery costs ~4 driver barriers that dwarf
-          // milliseconds of actual work at this size)
-          val rows = timed("links_seq")(uniq.collect())
+          // driver job plus one tiny probe (identical order to the
+          // distributed path; the two-pass range machinery costs ~4 driver
+          // barriers that dwarf milliseconds of actual work at this size)
+          val rows0 = timed("links_seq")(uniq0.collect())
             .map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getString(3)))
+          val present = probeSeenPresent(rows0.map(t => UrlOps.lowerUtf8(t._4)).toSeq)
+          val rows = rows0.filterNot(t => present.contains(UrlOps.lowerUtf8(t._4)))
             .sorted(Sequential.linkOrder) // UTF-8 byte order = the distributed path's UTF8String order
           newLinkCount = rows.length
           if (rows.nonEmpty) {
@@ -1790,27 +1846,58 @@ class CrawlEngine(
             newFrontier = spark.createDataset(entries.toIndexedSeq).toDF()
           }
         } else {
-        // persist the deduped link set BEFORE the range exchange: the range
-        // partitioner's sampling job otherwise recomputes the whole
-        // explode+aggregate upstream (the epoch's widest pipeline) a second
-        // time just to draw bounds; the deduped set is ~fanout× smaller
-        val uniqP = uniq.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persist the deduped link set BEFORE the seen split + range
+        // exchange: both the bloom split's two consumers and the range
+        // partitioner's sampling job would otherwise recompute the whole
+        // explode+aggregate upstream (the epoch's widest pipeline); the
+        // deduped set is ~fanout× smaller
+        val uniqP = uniq0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         uniqCk = Some(uniqP)
-        val sorted = uniqP.repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
-        // InternalRow end-to-end (round-3 verdict #2): `Dataset.rdd` would
-        // deserialize every link row to a GenericRow (two String allocs)
-        // in BOTH the count job and the seq job, and `createDataFrame`
-        // would re-encode the strings a third time — `toRdd` + a JoinedRow
-        // seq append + internalCreateDataFrame touch zero row bytes.
-        val sortedRdd = timed("links_tordd")(
-          org.apache.spark.sql.GraftSqlBridge.internalRdd(sorted)) // stable instance: shuffle reused by the frontier job
+        // InternalRow end-to-end (round-3 verdict #2, extended by the r6
+        // seen split): `Dataset.rdd` would deserialize every link row to a
+        // GenericRow (two String allocs) and Java-serialize the object
+        // graph through the probe shuffle — `toRdd` + UnsafeRow.copy ships
+        // compact row bytes, and the count/seq jobs reuse the same stable
+        // RDD instance (shuffle files reused).
+        val sortedRdd = timed("links_tordd") {
+          val withLu = uniqP.withColumn("__lu", lower(col("url")))
+          val linkBloom = new BloomGroup(spark.sparkContext.broadcast(blooms))
+          val mightContain = enginefns.bloom_might_contain(col("__lu"), linkBloom)
+          val definitelyNew = withLu.filter(!mightContain)
+          val maybeSeenLinks = withLu.filter(mightContain)
+          val luIdx = withLu.schema.fieldIndex("__lu")
+          val unseenMaybe = org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
+            org.apache.spark.sql.GraftSqlBridge.internalRdd(maybeSeenLinks)
+              .map(r => (r.getUTF8String(luIdx).toString, r.copy()))
+              .partitionBy(seenPartitioner)
+              .zipPartitions(seenProbeRdd(), seenDeltaRdd) { (cit, pit, dit) =>
+                val base: Array[AnyRef] =
+                  if (pit.hasNext) pit.next().asInstanceOf[Array[AnyRef]]
+                  else new Array[AnyRef](0)
+                var delta: java.util.HashSet[String] = null
+                while (dit.hasNext) {
+                  if (delta == null) delta = new java.util.HashSet[String]()
+                  delta.add(dit.next()._1)
+                }
+                cit.collect { case (k, r)
+                  if java.util.Arrays.binarySearch(base, k) < 0 &&
+                    (delta == null || !delta.contains(k)) => r }
+              },
+            withLu.schema)
+          val survivors = definitelyNew.unionByName(unseenMaybe).drop("__lu")
+          val sorted = survivors
+            .repartitionByRange(parts, sortCols: _*).sortWithinPartitions(sortCols: _*)
+          org.apache.spark.sql.GraftSqlBridge.internalRdd(sorted) // stable instance: shuffle reused by the frontier job
+        }
         val partCounts = timed("links_seq")(sortedRdd.mapPartitionsWithIndex { (i, it) =>
           var n = 0L; while (it.hasNext) { it.next(); n += 1 }; Iterator.single((i, n))
         }.collect().sortBy(_._1).map(_._2))
         newLinkCount = partCounts.sum
         if (newLinkCount > 0) {
           val offsets = partCounts.scanLeft(seqCounter)(_ + _)
-          val schema = sorted.schema.add("__seq", LongType, nullable = false)
+          // survivors schema == the deduped link schema (the __lu split
+          // column is dropped before the range sort)
+          val schema = uniqP.schema.add("__seq", LongType, nullable = false)
           val withSeq = sortedRdd.mapPartitionsWithIndex { (i, it) =>
             var k = offsets(i)
             val seqCell = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
@@ -1842,9 +1929,10 @@ class CrawlEngine(
         //     aggregate keeping the canonical-min row (struct-min over the
         //     canonical-order-prefixed struct — a window would shuffle and
         //     sort every row; the aggregate combines duplicates before the
-        //     exchange). Seen-filtered lazily next epoch. Without carryover
-        //     streams the new-link set IS the next frontier (already
-        //     unique) — no dedup, no count job.
+        //     exchange). New links are already seen-filtered (r6), so the
+        //     next epoch's gate probes only carryover entries and bloom
+        //     false positives. Without carryover streams the new-link set
+        //     IS the next frontier (already unique) — no dedup, no count job.
         frontier =
           if (carryover) {
             val nextFrontierAll = deferredHold.unionByName(deferred)
@@ -1854,28 +1942,6 @@ class CrawlEngine(
               .localCheckpoint(true))
           } else timed("frontier_ckpt")(newFrontier.localCheckpoint(true))
         uniqCk.foreach(_.unpersist(false)) // frontier materialized — release the link cache
-
-        // append the epoch's seen delta CO-PARTITIONED: map side runs once
-        // (shuffle files reused by every later probe), union is
-        // partitioner-aware (no data movement of the base)
-        val deltaRdd = if (retry.maxAttempts > 0) {
-          val seenDeltaCk = timed("seen_ckpt")(seenDelta.localCheckpoint(true))
-          seenCount += seenDeltaCk.count()
-          // every consumer of the admitted cache (bloom, fetch, seen delta)
-          // has materialized — release it NOW (leaving one cached plan per
-          // epoch alive OOMs the driver on multi-hundred-epoch crawls)
-          admittedDs.unpersist(false)
-          seenDeltaCk.rdd.map(r => (r.getString(0), r.getString(1)))
-        } else {
-          // lazy delta over the persisted admitted set — zero extra jobs
-          seenCount += admittedCount
-          admittedCaches :+= admittedDs
-          timed("seen_reroot")(seenDelta.rdd).map(r => (r.getString(0), r.getString(1)))
-        }
-        val seenDeltaPart = deltaRdd.partitionBy(seenPartitioner)
-        seenRdd = spark.sparkContext.union(seenRdd, seenDeltaPart)
-        seenDeltaRdd = spark.sparkContext.union(seenDeltaRdd, seenDeltaPart)
-        seenRddEpochs += 1
         readyHist = if (carryover) histOf(frontier) else Map(0L -> newLinkCount)
         val frontierCount = readyHist.values.sum
         frontierCountPrev = frontierCount

@@ -310,19 +310,28 @@ object OracleCrawler {
           } else afterVeto.filter(_.status == 200)
 
         // 11. explode links, dedup by lower(url) keep min (p_depth,p_seq,pos,url),
-        //     assign discovery_seq with the engine's exact gap semantics
+        //     drop ALREADY-SEEN targets (r6: the engine seen-filters links
+        //     BEFORE seq assignment so the canonical sort/seq machinery and
+        //     the frontier only carry genuinely-new URLs; at steady-state
+        //     fanout most link targets are already seen and previously rode
+        //     the widest shuffle just to be discarded by the next epoch's
+        //     gate), then assign discovery_seq
         val linksRaw = expanding.flatMap { p =>
           p.links.zipWithIndex.map { case (u, pos) => (p.depth, p.discovery_seq, pos, u) }
         }
         val uniq = linksRaw.groupBy(t => UrlOps.lowerUtf8(t._4)).values
           .map(_.min(graft.engine.Sequential.linkOrder)).toVector
+          .filterNot(t => seen.contains(UrlOps.lowerUtf8(t._4)))
           .sorted(graft.engine.Sequential.linkOrder)
         val newFrontier = uniq.zipWithIndex.map { case ((pd, _, _, u), i) =>
           FrontierEntry(u, UrlOps.host(u), pd + 1, seqCounter + i,
             UrlOps.scoreUrl(u, pd + 1), 0, 0L)
         }
-        // discovery_seq counts UNIQUE links (dense, matches the engine's
-        // single-pass dedup+seq assignment; order-preserving either way)
+        // discovery_seq counts unique UNSEEN links (dense; seq values are
+        // compacted vs the pre-r6 numbering but every pairwise canonical
+        // ORDER relation — and therefore every admission decision and page
+        // row — is unchanged: new seqs remain >= every previously assigned
+        // seq and relative order among survivors is preserved)
         seqCounter += uniq.size.toLong
 
         // 12. next frontier, case-insensitive dedup keep canonical-min

@@ -2121,10 +2121,18 @@ object CrawlEngine {
     */
   def signatureOf(spans: Array[Span]): Long = {
     if (spans == null || spans.isEmpty) return 0L
+    signatureOfSorted(spans.sortBy(_.offset))
+  }
+
+  /** [[signatureOf]] over an already offset-sorted span array — parsePage
+    * sorts once and shares the array (sortBy is stable, so the hash is
+    * identical to sorting again).
+    */
+  private def signatureOfSorted(sorted: Array[Span]): Long = {
+    if (sorted == null || sorted.isEmpty) return 0L
     val textKinds = Set("text", "title", "meta_description")
     var h = 0xcbf29ce484222325L
     var any = false
-    val sorted = spans.sortBy(_.offset)
     var i = 0
     while (i < sorted.length) {
       val s = sorted(i)
@@ -2200,7 +2208,7 @@ object CrawlEngine {
         i += 1
       }
     }
-    val sig = signatureOf(spans)
+    val sig = signatureOfSorted(sorted)
     ParsedPage(f.url, f.f_final_url, f.host, f.depth, f.discovery_seq, f.priority,
       f.attempt, epoch, f.f_status, sig, title, desc, og, f.f_charset, f.f_etag,
       spans, links.distinct.toArray,

@@ -118,6 +118,33 @@ object Drive {
       println(s"COSINEDRIVE pairs=$total diverging=$diverging")
       spark.stop(); return
     }
+    if (args.headOption.contains("fetchplan")) {
+      // r6: shape of the per-epoch fetch+parse pipeline — is the
+      // FetchResult serialize/deserialize between the Fetcher seam and
+      // parsePage eliminated (EliminateSerialization), and what surrounds
+      // the parquet write?
+      import graft.corpus.CorpusParams
+      import graft.engine.{CrawlEngine, GenerativeFetcher, ScopeState}
+      import org.apache.spark.sql.functions._
+      val spark = session(4)
+      import spark.implicits._
+      val p = CorpusParams(hosts = 16, pagesPerHost = 1000, fanout = 48, textWords = 150)
+      val entries = spark.range(0, 10000).map { i =>
+        val h = (i % 16).toInt
+        val u = graft.corpus.CorpusGen.pageUrl(p, h, sub = false, i / 16)
+        graft.model.FrontierEntry(u, s"www.site$h.com", 1, i, 0, 0, 0L)
+      }
+      val scope = ScopeState("", "www.site0.com", "https", "",
+        "https://www.site0.com/", Set("*"), fullResources = false)
+      val fetched = new GenerativeFetcher(p).fetch(spark, entries)
+        .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, scope, 1L)))
+      fetched.explain("formatted")
+      val t0 = System.nanoTime()
+      fetched.write.mode("overwrite").option("compression", "none")
+        .parquet("/dev/shm/graft-fetchplan")
+      println(f"FETCHPLAN wrote in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      spark.stop(); return
+    }
     if (args.headOption.contains("dedupprof")) {
       // per-stage profile of the sketch dedup queries at sf0.1
       import graft.functions.TextFunctions

@@ -1432,8 +1432,15 @@ class CrawlEngine(
           // cache for every later consumer this epoch), BOUNDED at the
           // ledger's LRU capacity by per-epoch traffic (round-4 verdict
           // #2: the unbounded roll shipped one row per host per epoch —
-          // millions of rows/epoch on a wide politeness-on crawl; hosts
-          // beyond the cap would be evicted on insert anyway).
+          // millions of rows/epoch on a wide politeness-on crawl).
+          // KNOWN RESIDUAL past the cap (r5 advice): a host already
+          // resident in the LRU ledger that falls outside the top-traffic
+          // cap this epoch keeps its stale (un-debited) balance instead of
+          // being evicted-and-refreshed; with > lruHostCap (100k) distinct
+          // hosts in ONE epoch it can over-admit by its stale tokens on a
+          // later epoch. The reference's capped DashMap limiters drop
+          // per-host state past their MAX_ENTRIES the same way; bounded
+          // politeness error, never correctness of the page set.
           timed("tokens_roll")(rankedH.groupBy(col("host")).agg(
               max(col("__avail")).as("__a"),
               sum(when(col("__hrn") <= col("__quota"), 1L).otherwise(0L)).as("__used"),
@@ -1730,11 +1737,17 @@ class CrawlEngine(
         if (sitemapChain && !chainStarted) {
           // rel=sitemap auto-discovery (one tiny extra job per epoch,
           // only when the caller requested the chain; ads are distinct
-          // sitemap DOCS, so the collect is bounded by the cap)
+          // sitemap DOCS, so the collect is bounded by the cap).
+          // Case-insensitive keep-first (min = UTF-8-first variant per
+          // lowercase key) BEFORE the cap, so the truncation applies the
+          // same rule as accumulateDiscoveredSitemaps and the small path —
+          // a >cap advertised set with case-duplicate URLs previously
+          // could truncate to a different set than the oracle (r5 advice).
           val ads = parsed.toDF()
-            .select(explode(col("sitemap_links")).as("__u")).distinct()
+            .select(explode(col("sitemap_links")).as("__u"))
+            .groupBy(lower(col("__u")).as("__k")).agg(min(col("__u")).as("__u"))
             .orderBy(col("__u")).limit(CrawlEngine.maxDiscoveredSitemaps)
-            .as[String].collect()
+            .select(col("__u")).as[String].collect()
           CrawlEngine.accumulateDiscoveredSitemaps(discoveredSitemaps, ads.toSeq)
         }
         if (chainStarted) {

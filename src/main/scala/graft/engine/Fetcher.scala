@@ -186,6 +186,13 @@ final class RevalidatingFetcher(inner: Fetcher, cache: Map[String, FetchResult])
   * charset/etag with zero body fetches, and only misses reach `inner`.
   * Cached hits report latency 0 (they cost no round-trip), so the
   * EMA auto-throttle correctly never paces them.
+  *
+  * CONTRACT: `priorPages` must be unique by `url` (an engine `pages` table
+  * is, by the frontier's unique-by-lower(url) invariant). A caller-built
+  * union of several crawls' tables must be deduplicated first (e.g. keep
+  * the latest epoch per url) — duplicate cache rows would multiply
+  * admitted rows through the left join and break the pages-unique-by-url
+  * invariant downstream (r5 advice).
   */
 final class WarmStartFetcher(inner: Fetcher, priorPages: DataFrame) extends Fetcher {
   override def fetch(spark: SparkSession, admitted: Dataset[FrontierEntry]): Dataset[FetchResult] = {

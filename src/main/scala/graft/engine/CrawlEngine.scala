@@ -501,7 +501,9 @@ class CrawlEngine(
     def flushPageBuf(): Unit = if (pageBuf.nonEmpty) {
       pageBufN += 1
       spark.createDataset(pageBuf.toIndexedSeq).coalesce(1)
-        .write.option("compression", "none").parquet(s"$pagesSink/buf_$pageBufN")
+        .write.option("compression", "none")
+        .option("parquet.enable.dictionary", "false")
+        .parquet(s"$pagesSink/buf_$pageBufN")
       pagesWritten = true
       pageBuf.clear()
     }
@@ -1614,7 +1616,9 @@ class CrawlEngine(
           // costs more than the bytes it saves
           timed("fetch_parse")(fetcher.fetch(spark, fetchReady)
             .mapPartitions(it => it.map(f => CrawlEngine.parsePage(f, sc, ep, lrw)))
-            .write.option("compression", "none").parquet(parsedPath))
+            .write.option("compression", "none")
+            .option("parquet.enable.dictionary", "false")
+            .parquet(parsedPath))
         }
         val parsed: Dataset[ParsedPage] = timed("parsed_read")(
           spark.read.schema(CrawlEngine.parsedSchema).parquet(parsedPath).as[ParsedPage])
